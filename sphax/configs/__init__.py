@@ -1,0 +1,77 @@
+"""Frozen, hashable physics/run configs.
+
+The reference keeps run parameters as constants at the top of each script
+(SURVEY.md §5 "Config/flag system"); here they are frozen dataclasses so they
+can cross the jit boundary as *static* arguments — a config change recompiles,
+a domain/state change does not.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SPHConfig:
+    """Physics + numerics parameters (static under jit).
+
+    Mirrors the reference's knobs (SURVEY.md §2.1 numerical contract):
+    cubic-spline kernel, ideal-gas/isothermal EOS, Monaghan artificial
+    viscosity, optional Balsara switch, optional grad-h terms, adaptive or
+    fixed smoothing length, optional self-gravity.
+    """
+
+    dim: int = 3
+    gamma: float = 5.0 / 3.0          # adiabatic index (ideal gas)
+    isothermal: bool = False          # if True: P = cs_iso^2 * rho
+    cs_iso: float = 1.0               # isothermal sound speed
+
+    # Smoothing length: h_i = eta * (m_i / rho_i)^(1/dim); adaptive via Newton
+    eta: float = 1.3
+    adaptive_h: bool = True
+    newton_iters: int = 6             # fixed unrolled Newton iterations (jit-safe)
+    grad_h: bool = False              # apply Omega grad-h correction factors
+
+    # Artificial viscosity (Monaghan): Pi_ij with alpha, beta = 2*alpha
+    alpha_visc: float = 1.0
+    beta_visc: float = 2.0
+    eps_visc: float = 0.01            # softening in mu_ij denominator (eps*h^2)
+    balsara: bool = False             # Balsara shear limiter
+
+    # Self-gravity (direct sum, Plummer softening)
+    gravity: bool = False
+    G: float = 1.0
+    grav_eps: float = 0.01
+
+    # Timestep control
+    cfl: float = 0.25
+    dt_force: float = 0.25            # force criterion safety factor
+    dt_max: float = 1e9
+
+    # Energy floor (avoid negative u from AV overshoot in strong shocks)
+    u_floor: float = 0.0
+
+    # Neighbor infrastructure
+    n_ngb_cap: int = 64               # fixed degree K for neighbor lists
+
+    @property
+    def support(self) -> float:
+        return 2.0
+
+
+# ---- canonical problem configs (BASELINE.json configs 1-5) -----------------
+
+SOD = SPHConfig(dim=3, gamma=1.4, adaptive_h=False, grad_h=False,
+                alpha_visc=1.0, beta_visc=2.0)
+
+SEDOV = SPHConfig(dim=3, gamma=5.0 / 3.0, adaptive_h=True, grad_h=True,
+                  alpha_visc=1.0, beta_visc=2.0, balsara=True, u_floor=1e-8)
+
+KH = SPHConfig(dim=2, gamma=5.0 / 3.0, adaptive_h=True, grad_h=True,
+               alpha_visc=1.0, beta_visc=2.0, balsara=True)
+
+EVRARD = SPHConfig(dim=3, gamma=5.0 / 3.0, adaptive_h=True, grad_h=True,
+                   gravity=True, G=1.0, grav_eps=0.02, u_floor=1e-10)
+
+TURB = SPHConfig(dim=3, isothermal=True, cs_iso=1.0, adaptive_h=True,
+                 grad_h=False, alpha_visc=1.0, beta_visc=2.0, balsara=True)

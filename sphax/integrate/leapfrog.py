@@ -1,0 +1,38 @@
+"""Leapfrog kick-drift-kick integrator (SURVEY.md §2.1.8, §3.2; C10).
+
+The step sequence is FROZEN to match ``reference_cpu.step`` exactly:
+  1. dt from current derived state (unless supplied)
+  2. half-kick  v += a dt/2 ; u += du dt/2 (floored)
+  3. drift      x += v dt (periodic wrap)
+  4. recompute derived quantities (engine-dependent: dense / nlist / pallas)
+  5. half-kick with the new derivatives
+
+``derived_fn`` is any engine's ``update_derived``-style closure; the step is
+a single pure function, so ``jax.lax.fori_loop(0, K, ...)`` runs whole epochs
+on-device with zero host round-trips (BASELINE.json:5).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+
+from sphax.configs import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.integrate.timestep import local_dt
+
+DerivedFn = Callable[[ParticleState], ParticleState]
+
+
+def step(state: ParticleState, cfg: SPHConfig, domain: Domain,
+         derived_fn: DerivedFn, dt=None) -> Tuple[ParticleState, jnp.ndarray]:
+    if dt is None:
+        dt = local_dt(state, cfg)
+    half = 0.5 * dt
+    vel = state.vel + half * state.acc
+    u = jnp.maximum(state.u + half * state.du_dt, cfg.u_floor)
+    pos = domain.wrap(state.pos + dt * vel)
+    state = derived_fn(state._replace(pos=pos, vel=vel, u=u))
+    vel = state.vel + half * state.acc
+    u = jnp.maximum(state.u + half * state.du_dt, cfg.u_floor)
+    return state._replace(vel=vel, u=u), dt

@@ -1,0 +1,18 @@
+"""Test-suite configuration.
+
+All tests run on CPU with 8 fake XLA devices (SURVEY.md §4.2.4) so the full
+distributed path is exercised hermetically; float64 is enabled so parity
+against the float64 reference can hit 1e-6 (SURVEY.md §7 hard parts). Pallas
+kernels run in interpret mode on CPU; real-TPU smoke tests are marked `tpu`
+and skipped here.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
