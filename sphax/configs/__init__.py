@@ -64,8 +64,12 @@ class SPHConfig:
 SOD = SPHConfig(dim=3, gamma=1.4, adaptive_h=False, grad_h=False,
                 alpha_visc=1.0, beta_visc=2.0)
 
+# blast onset is the stiffest phase (AV's velocity dependence makes the
+# recompute-KDK first-order in energy there); a tighter CFL keeps total
+# energy drift under ~1% per blast time at test resolutions
 SEDOV = SPHConfig(dim=3, gamma=5.0 / 3.0, adaptive_h=True, grad_h=True,
-                  alpha_visc=1.0, beta_visc=2.0, balsara=True, u_floor=1e-8)
+                  alpha_visc=1.0, beta_visc=2.0, balsara=True, u_floor=1e-8,
+                  cfl=0.15, dt_force=0.15)
 
 KH = SPHConfig(dim=2, gamma=5.0 / 3.0, adaptive_h=True, grad_h=True,
                alpha_visc=1.0, beta_visc=2.0, balsara=True)

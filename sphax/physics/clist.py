@@ -196,9 +196,15 @@ def gravity_dense(pos_s, mass_s, cfg: SPHConfig, domain: Domain,
 # ---------------------------------------------------------------------------
 
 
+def auto_cell_block(grid: Grid, dim: int, budget_bytes: int = 8 << 20) -> int:
+    """Cells per map block so the [B, C, M, D] pair intermediates stay small."""
+    per_cell = grid.capacity * grid.n_candidates * dim * 4
+    return max(1, min(128, budget_bytes // max(per_cell, 1)))
+
+
 @partial(jax.jit, static_argnames=("cfg", "grid", "cell_block"))
 def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
-                   grid: Grid, cell_block: int = 32) -> ParticleState:
+                   grid: Grid, cell_block: int = 0) -> ParticleState:
     """Cell-list analogue of dense.update_derived (same math, same order).
 
     Results return in the caller's original particle order; the Morton sort
@@ -207,6 +213,8 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
     """
     if state.dim != cfg.dim:
         raise ValueError(f"state dim {state.dim} != cfg.dim {cfg.dim}")
+    if cell_block <= 0:
+        cell_block = auto_cell_block(grid, cfg.dim)
     n = state.n
     cl = cl_mod.build(state.pos, domain, grid)
     perm = cl.perm

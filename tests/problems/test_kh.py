@@ -1,0 +1,53 @@
+"""Kelvin-Helmholtz gate: seeded-mode growth vs linear theory (SURVEY.md §4.2.3)."""
+import jax.numpy as jnp
+import numpy as np
+
+import sphax
+from sphax.diag import conservation
+from sphax.ics import kh
+from sphax.physics import dense
+from sphax.run import simulate_until
+
+
+def test_kh_mode_growth():
+    ic = kh.build(nx=32, kmode=2)
+    cfg = sphax.configs.KH
+    dom = sphax.box(jnp.zeros(2), jnp.asarray(ic["box"]))
+    st = sphax.make_state(*(jnp.asarray(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    engine = lambda s: dense.update_derived(s, cfg, dom, block=128)
+    st = engine(st)
+
+    mass = np.asarray(st.mass)
+    amp0 = kh.mode_amplitude(np.asarray(st.pos), np.asarray(st.vel), mass)
+    p0 = np.asarray(conservation.momentum(st))
+
+    amps, times = [amp0], [0.0]
+
+    def cb(s, t, n):
+        amps.append(kh.mode_amplitude(np.asarray(s.pos), np.asarray(s.vel),
+                                      mass))
+        times.append(t)
+
+    st, _, t, _ = simulate_until(st, cfg, dom, engine, t_end=0.8, chunk=32,
+                                 max_steps=3000, callback=cb)
+    assert np.isfinite(np.asarray(st.rho)).all()
+
+    amps, times = np.asarray(amps), np.asarray(times)
+    # KH linear growth rate for a sharp interface:
+    #   gamma = k |dv| sqrt(rho1 rho2) / (rho1 + rho2)
+    k = 2 * np.pi * 2
+    gamma_th = k * 1.0 * np.sqrt(2.0) / 3.0
+    # The sharp-interface start produces a transient dip (pressure waves)
+    # before clean exponential growth; the kernel-smoothed interface and AV
+    # damp the rate below the idealised sharp value (the well-known SPH-KH
+    # softening, cf. Agertz+2007), so gate on sustained post-transient
+    # growth at a rate within [0.15, 2] x theory.
+    i0 = int(np.argmin(amps))
+    assert i0 < len(amps) - 3, "no post-transient growth window"
+    rate = np.polyfit(times[i0:], np.log(amps[i0:]), 1)[0]
+    assert 0.15 * gamma_th < rate < 2.0 * gamma_th, (rate, gamma_th)
+    assert amps[-1] > 2.0 * amps[i0]  # unambiguous growth
+
+    p1 = np.asarray(conservation.momentum(st))
+    assert np.all(np.abs(p1 - p0) < 1e-10)
