@@ -88,29 +88,50 @@ class Domain:
 
     ``periodic`` is static metadata (it changes trace structure: min-image
     wrapping vs open boundaries), while ``lo``/``hi`` are dynamic leaves so a
-    domain of different extent does not retrigger compilation.
+    domain of different extent does not retrigger compilation. ``periodic``
+    may be a single bool or a per-axis tuple — the distributed slab
+    decomposition uses mixed periodicity (ghost particles realise the wrap
+    along the slab axis, min-image handles the transverse axes;
+    SURVEY.md §3.5).
     """
 
     lo: Array  # [D]
     hi: Array  # [D]
-    periodic: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    periodic: object = dataclasses.field(default=True,
+                                         metadata=dict(static=True))
 
     @property
     def extent(self) -> Array:
         return self.hi - self.lo
 
+    def periodic_axes(self, dim: int) -> Tuple[bool, ...]:
+        p = self.periodic
+        if isinstance(p, bool):
+            return (p,) * dim
+        return tuple(p)
+
     def wrap(self, pos: Array) -> Array:
-        """Map positions back into the box (periodic) or leave them (open)."""
-        if not self.periodic:
+        """Map positions back into the box on periodic axes."""
+        per = self.periodic_axes(pos.shape[-1])
+        if not any(per):
             return pos
-        return self.lo + jnp.mod(pos - self.lo, self.extent)
+        wrapped = self.lo + jnp.mod(pos - self.lo, self.extent)
+        if all(per):
+            return wrapped
+        mask = jnp.asarray(per)
+        return jnp.where(mask, wrapped, pos)
 
     def displacement(self, dx: Array) -> Array:
         """Minimum-image convention displacement for raw dx = x_i - x_j."""
-        if not self.periodic:
+        per = self.periodic_axes(dx.shape[-1])
+        if not any(per):
             return dx
         ext = self.extent
-        return dx - ext * jnp.round(dx / ext)
+        mi = dx - ext * jnp.round(dx / ext)
+        if all(per):
+            return mi
+        mask = jnp.asarray(per)
+        return jnp.where(mask, mi, dx)
 
 
 def unit_box(dim: int = 3, periodic: bool = True, dtype=jnp.float32) -> Domain:

@@ -25,13 +25,19 @@ DerivedFn = Callable[[ParticleState], ParticleState]
 
 
 def step(state: ParticleState, cfg: SPHConfig, domain: Domain,
-         derived_fn: DerivedFn, dt=None) -> Tuple[ParticleState, jnp.ndarray]:
+         derived_fn: DerivedFn, dt=None,
+         wrap: bool = True) -> Tuple[ParticleState, jnp.ndarray]:
+    """``wrap=False`` leaves drifted positions unwrapped — the distributed
+    slab engine needs contiguous coordinates across the periodic seam within
+    a chunk (sphax/dist/slab.py) and wraps at redistribution cadence."""
     if dt is None:
         dt = local_dt(state, cfg)
     half = 0.5 * dt
     vel = state.vel + half * state.acc
     u = jnp.maximum(state.u + half * state.du_dt, cfg.u_floor)
-    pos = domain.wrap(state.pos + dt * vel)
+    pos = state.pos + dt * vel
+    if wrap:
+        pos = domain.wrap(pos)
     state = derived_fn(state._replace(pos=pos, vel=vel, u=u))
     vel = state.vel + half * state.acc
     u = jnp.maximum(state.u + half * state.du_dt, cfg.u_floor)

@@ -141,22 +141,24 @@ def build(pos, domain: Domain, grid: Grid) -> CellList:
                     overflow=overflow)
 
 
-def neighbor_cids(cids, grid: Grid, periodic: bool):
+def neighbor_cids(cids, grid: Grid, periodic):
     """Row-major ids of the neighbor cells of each cell in ``cids``.
 
     Returns ([B, n_off] cell ids, [B, n_off] validity mask). Static offset
-    list; periodic wrap or open-boundary masking.
+    list; ``periodic`` is a bool or per-axis tuple — periodic axes wrap,
+    open axes mask out-of-range neighbor cells.
     """
+    dim = grid.dim
+    per = (periodic,) * dim if isinstance(periodic, bool) else tuple(periodic)
     res = jnp.asarray(grid.res, jnp.int32)
     strides = np.concatenate([np.cumprod(grid.res[::-1])[-2::-1], [1]])
     strides = jnp.asarray(strides, jnp.int32)
     coords = (cids[:, None] // strides[None, :]) % res[None, :]  # [B, D]
     offs = jnp.asarray(grid.offsets(), jnp.int32)                # [n_off, D]
     nc = coords[:, None, :] + offs[None, :, :]                   # [B, n_off, D]
-    if periodic:
-        nc = jnp.mod(nc, res)
-        ok = jnp.ones(nc.shape[:-1], bool)
-    else:
-        ok = jnp.all((nc >= 0) & (nc < res), axis=-1)
-        nc = jnp.clip(nc, 0, res - 1)
+    wrapped = jnp.mod(nc, res)
+    in_range = (nc >= 0) & (nc < res)
+    per_mask = jnp.asarray(per)                                  # [D] static
+    nc = jnp.where(per_mask, wrapped, jnp.clip(nc, 0, res - 1))
+    ok = jnp.all(per_mask | in_range, axis=-1)
     return jnp.sum(nc * strides, axis=-1), ok

@@ -83,26 +83,28 @@ def _geom(pos_i, pos_j, domain: Domain):
 # ---------------------------------------------------------------------------
 
 
-def density_pass(cl, grid, domain, n, cell_block, pos_p, h_s, mass_p, dim):
+def density_pass(cl, grid, domain, n, cell_block, pos_p, h_s, mass_p, dim,
+                 bin_per=None):
     def kfn(gi, gj):
         (pos_i, h_i), (pos_j, m_j) = gi, gj
         _, r = _geom(pos_i, pos_j, domain)
         w, dwdh = pairs.density_terms(r, h_i[..., None], m_j[:, None, :], dim)
         return jnp.sum(w, -1), jnp.sum(dwdh, -1)
 
-    return _run_cell_pass(kfn, cl, grid, domain.periodic, n, cell_block,
+    per = domain.periodic if bin_per is None else bin_per
+    return _run_cell_pass(kfn, cl, grid, per, n, cell_block,
                           (pos_p, _sentinel_pad(h_s, 1.0)), (pos_p, mass_p))
 
 
 def solve_h(cl, grid, domain, n, cell_block, pos_p, mass_p, h0_s,
-            cfg: SPHConfig):
+            cfg: SPHConfig, bin_per=None):
     """Newton-h on the cell candidates (same iteration as dense.solve_h)."""
     dim = cfg.dim
     mass_s = mass_p[:-1]
 
     def it(_, h_s):
         rho, drho_dh = density_pass(cl, grid, domain, n, cell_block,
-                                    pos_p, h_s, mass_p, dim)
+                                    pos_p, h_s, mass_p, dim, bin_per)
         rho_h = mass_s * (cfg.eta / h_s) ** dim
         phi = rho - rho_h
         dphi = drho_dh + dim * rho_h / h_s
@@ -114,7 +116,7 @@ def solve_h(cl, grid, domain, n, cell_block, pos_p, mass_p, h0_s,
 
 
 def balsara_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
-                 h_s, rho_s, cs_s, cfg: SPHConfig):
+                 h_s, rho_s, cs_s, cfg: SPHConfig, bin_per=None):
     dim = cfg.dim
 
     def kfn(gi, gj):
@@ -133,14 +135,16 @@ def balsara_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
             curl_mag = jnp.zeros_like(divv)
         return divv, curl_mag
 
+    per = domain.periodic if bin_per is None else bin_per
     divv, curl_mag = _run_cell_pass(
-        kfn, cl, grid, domain.periodic, n, cell_block,
+        kfn, cl, grid, per, n, cell_block,
         (pos_p, vel_p, _sentinel_pad(h_s, 1.0)), (pos_p, vel_p, mass_p))
     return pairs.balsara_factor(divv / rho_s, curl_mag / rho_s, cs_s, h_s)
 
 
 def force_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
-               h_s, rho_s, P_s, cs_s, om_s, bf_s, cfg: SPHConfig):
+               h_s, rho_s, P_s, cs_s, om_s, bf_s, cfg: SPHConfig,
+               bin_per=None):
     pad = _sentinel_pad
     h_p, rho_p = pad(h_s, 1.0), pad(rho_s, 1.0)
     P_p, cs_p = pad(P_s, 0.0), pad(cs_s, 0.0)
@@ -172,7 +176,8 @@ def force_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
     if cfg.balsara:
         ifields.append(bf_p)
         jfields.append(bf_p)
-    return _run_cell_pass(kfn, cl, grid, domain.periodic, n, cell_block,
+    per = domain.periodic if bin_per is None else bin_per
+    return _run_cell_pass(kfn, cl, grid, per, n, cell_block,
                           tuple(ifields), tuple(jfields))
 
 

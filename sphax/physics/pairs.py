@@ -91,8 +91,13 @@ def balsara_terms(dx, r, dv, h_i, m_j, dim: int):
 
 
 def balsara_factor(divv, curl_mag, cs, h):
-    """f_i = |div v| / (|div v| + |curl v| + 1e-4 c/h) (Balsara 1995)."""
-    return jnp.abs(divv) / (jnp.abs(divv) + curl_mag + 1e-4 * cs / h)
+    """f_i = |div v| / (|div v| + |curl v| + 1e-4 c/h) (Balsara 1995).
+
+    The 1e-30 floor keeps isolated zero-velocity particles (e.g. zero-mass
+    padding in the distributed engine) at f=0 instead of NaN — a NaN here
+    poisons real particles through 0-mass * NaN pair terms.
+    """
+    return jnp.abs(divv) / (jnp.abs(divv) + curl_mag + 1e-4 * cs / h + 1e-30)
 
 
 def gravity_terms(dx, r, m_j, cfg: SPHConfig):

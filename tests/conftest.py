@@ -5,14 +5,21 @@ distributed path is exercised hermetically; float64 is enabled so parity
 against the float64 reference can hit 1e-6 (SURVEY.md §7 hard parts). Pallas
 kernels run in interpret mode on CPU; real-TPU smoke tests are marked `tpu`
 and skipped here.
+
+Gotcha: this machine's sitecustomize imports jax at interpreter start to
+register the 'axon' TPU plugin, so JAX_PLATFORMS in os.environ is read
+before conftest runs — the platform must be forced via jax.config instead.
+XLA_FLAGS is still read lazily at first backend init, so the fake-device
+count can be set here.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,107 @@
+"""Distributed slab engine vs single-device engine (SURVEY.md §4.2.4).
+
+Runs on 8 fake CPU devices (tests/conftest.py sets
+--xla_force_host_platform_device_count=8). The full shard_map step —
+SFC/slab shard, two-phase ppermute ghost exchange, pmin dt — must reproduce
+the single-device dense-engine run of the same ICs to fp tolerance.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sphax
+from sphax import SPHConfig, box, make_state
+from sphax.dist import slab
+from sphax.integrate import leapfrog
+from sphax.physics import dense
+from tests.parity.test_dense_vs_reference import make_problem
+
+
+def _problem(cfg, n_side=16, seed=4, vel_scale=0.2):
+    pos, vel, mass, u, h = make_problem(dim=cfg.dim, n_side=n_side, seed=seed,
+                                        vel_scale=vel_scale)
+    dom = box(jnp.zeros(cfg.dim), jnp.ones(cfg.dim))
+    st = make_state(jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+                    jnp.asarray(u), jnp.asarray(h))
+    return st, dom
+
+
+DIST_CONFIGS = {
+    "fixed_h": SPHConfig(dim=3, adaptive_h=False, grad_h=False),
+    "gradh_balsara": SPHConfig(dim=3, adaptive_h=True, grad_h=True,
+                               balsara=True, newton_iters=12),
+    "isothermal": SPHConfig(dim=3, isothermal=True, cs_iso=1.5,
+                            adaptive_h=True, newton_iters=12),
+}
+
+
+@pytest.mark.parametrize("name", list(DIST_CONFIGS))
+def test_dist_step_matches_single_device(name):
+    cfg = DIST_CONFIGS[name]
+    assert jax.device_count() >= 8, "conftest must provide 8 fake devices"
+    st, dom = _problem(cfg)
+
+    # single-device reference trajectory (3 steps, unwrapped drift to match)
+    engine = lambda s: dense.update_derived(s, cfg, dom, block=64)
+    ref = engine(st)
+    ref_dts = []
+    for _ in range(3):
+        ref, dt = leapfrog.step(ref, cfg, dom, engine, wrap=False)
+        ref_dts.append(float(dt))
+
+    # distributed trajectory (4 slabs: the margin must fit inside one slab)
+    mesh = slab.make_mesh(4)
+    spec = slab.plan(dom, st.n, h_max=float(st.h.max()) * 1.1, n_shards=4,
+                     margin_factor=1.2)
+    sh = slab.distribute(engine(st), dom, mesh, spec)
+    step = slab.make_step(mesh, cfg, spec)
+    dts = []
+    for _ in range(3):
+        sh, dt = step(sh, dom)
+        dts.append(float(dt))
+
+    np.testing.assert_allclose(dts, ref_dts, rtol=1e-10)
+
+    got = slab.gather_real(sh)
+    assert got.n == ref.n
+    # order-independent comparison: sort both by a morton-ish key (x, y, z)
+    def order(s):
+        p = np.asarray(s.pos)
+        return np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+
+    oi, oj = order(got), order(ref)
+    for f in ("pos", "vel", "u", "h", "rho", "P", "acc"):
+        a = np.asarray(getattr(got, f))[oi]
+        b = np.asarray(getattr(ref, f))[oj]
+        scale = np.max(np.abs(b)) + 1e-30
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8 * scale,
+                                   err_msg=f)
+
+
+def test_chunked_dist_run_and_redistribute():
+    """Multi-chunk run with redistribution stays finite and conserves mass."""
+    cfg = DIST_CONFIGS["isothermal"]
+    st, dom = _problem(cfg, n_side=10, vel_scale=0.5)
+    engine = lambda s: dense.update_derived(s, cfg, dom, block=64)
+    st = engine(st)
+    m0 = float(jnp.sum(st.mass))
+
+    # adaptive h grows in low-density pockets; 2 wide slabs keep margin < W
+    mesh = slab.make_mesh(2)
+    spec = slab.plan(dom, st.n, h_max=float(st.h.max()) * 1.1, n_shards=2,
+                     margin_factor=1.2)
+    sh = slab.distribute(st, dom, mesh, spec)
+    chunk = slab.make_chunk(mesh, cfg, spec, nsteps=5)
+    for _ in range(3):
+        sh, dts = chunk(sh, dom)
+        assert np.isfinite(np.asarray(dts)).all()
+        sh = slab.redistribute(sh, dom, mesh, spec)
+
+    got = slab.gather_real(sh)
+    assert got.n == st.n
+    assert abs(float(jnp.sum(got.mass)) - m0) < 1e-12 * m0
+    assert np.isfinite(np.asarray(got.rho)).all()
+    # particles stayed inside the box after redistribution wrap
+    p = np.asarray(got.pos)
+    assert (p >= 0).all() and (p <= 1).all()
