@@ -313,7 +313,7 @@ def _local_derived(st: ParticleState, cfg: SPHConfig, domain: Domain,
     rho_s, drho_dh = clist.density_pass(cl, grid, domain, nc, cell_block,
                                         pos_p, h_s, mass_p, dim,
                                         bin_per=bin_per)
-    rho_s = jnp.maximum(rho_s, 1e-30)  # trash rows see no neighbors
+    rho_s = jnp.maximum(rho_s, 1e-15)  # trash rows see no neighbors
     if cfg.grad_h:
         om_s = 1.0 + h_s / (dim * rho_s) * drho_dh
     else:
@@ -351,7 +351,7 @@ def _local_derived(st: ParticleState, cfg: SPHConfig, domain: Domain,
     # ---- force pass with exact ghost j-fields ----
     acc_s, du_s = clist.force_pass(
         cl, grid, domain, nc, cell_block, pos_p, vel_p, mass_p,
-        h_c[perm], jnp.maximum(rho_c[perm], 1e-30), P_c[perm], cs_c[perm],
+        h_c[perm], jnp.maximum(rho_c[perm], 1e-15), P_c[perm], cs_c[perm],
         om_c[perm], bf_c[perm], cfg, bin_per=bin_per)
     acc_c, du_c = unsort(acc_s), unsort(du_s)
 

@@ -1,0 +1,322 @@
+"""Sorted pencil-window neighbor structure — the TPU-native hot path.
+
+TPU pair kernels want candidates as *contiguous sorted rows* (sequential
+VMEM block loads), not random gathers (SURVEY.md §3.4, §7; P: 1810.09898 —
+SFC ordering makes neighbour search linear scans). This module builds that
+structure with one argsort and O(N) everything else:
+
+  1. Periodic images ("ghosts") of particles within ``cutoff`` of each box
+     face are appended with static per-offset capacities (scatter
+     compaction). Ghost rows carry their source row index so owner-computed
+     fields are mirrored onto them with one gather between kernel passes.
+  2. Extended positions are binned on a uniform grid (cell >= cutoff) and
+     sorted by row-major cell id with the LAST axis fastest: each (c1..c_{D-1})
+     "pencil" of cells is contiguous, and within it cells are contiguous in
+     the fast axis.
+  3. A particle's neighbor cells form 3^(D-1) pencils of 3 consecutive
+     fast-axis cells each — every one an EXACTLY contiguous run of sorted
+     rows, located with two searchsorted calls. No Morton min/max
+     over-coverage, no cell capacity, no per-cell padding.
+  4. Rows are tiled T at a time; a tile's segment windows are the union of
+     its rows' runs, padded to the static width ``wseg``. ``overflow``
+     counts tiles whose true run exceeded wseg (must be 0 for exactness —
+     the same escape hatch as the cell list).
+
+Rows beyond a segment's true range belong to non-adjacent cells (> cutoff
+away -> kernel support zero) or are zero-mass padding, so pair kernels are
+maskless dense [T, n_seg * wseg] vector ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sphax.core.state import Domain
+
+_BIG = np.int32(2**31 - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    """Static window-structure parameters (hashable; change -> recompile)."""
+
+    res: Tuple[int, ...]          # interior cells per axis (cell >= cutoff)
+    cutoff: float                 # neighbor search radius (>= 2 h_max)
+    ghost_caps: Tuple[int, ...]   # capacity per periodic image offset
+    tile: int                     # rows per tile (T)
+    wseg: int                     # static width of each pencil segment
+    n_sorted: int                 # padded sorted-array length
+
+    @property
+    def dim(self) -> int:
+        return len(self.res)
+
+    @property
+    def n_seg(self) -> int:
+        return 3 ** (self.dim - 1)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_sorted // self.tile
+
+    def image_offsets(self):
+        return _image_offsets(self.dim)
+
+
+def _image_offsets(dim: int):
+    return [o for o in itertools.product((-1, 0, 1), repeat=dim) if any(o)]
+
+
+def _pencil_offsets(dim: int):
+    """Offsets over the slow axes (all but the last)."""
+    if dim == 1:
+        return [()]
+    return list(itertools.product((-1, 0, 1), repeat=dim - 1))
+
+
+def plan_windows(domain: Domain, h_max: float, n: int, dim: int,
+                 tile: int = 128, wseg: int = 0, cutoff_scale: float = 1.0,
+                 ghost_safety: float = 2.0, seg_safety: float = 1.2) -> WindowSpec:
+    """Host-side parameter choice. cutoff = 2 h_max * cutoff_scale.
+
+    wseg=0 -> auto: ~seg_safety * 3 cells' average occupancy, rounded to 128.
+    """
+    lo = np.asarray(domain.lo, np.float64)
+    hi = np.asarray(domain.hi, np.float64)
+    ext = hi - lo
+    cutoff = 2.0 * float(h_max) * cutoff_scale
+    res = np.maximum(1, np.floor(ext / cutoff).astype(int))
+    if np.any(res < 2):
+        # with res=1 a particle and its own periodic image can both fall
+        # inside the cutoff, which the dedup mask cannot distinguish
+        raise ValueError(
+            f"box too small for window engine at cutoff {cutoff:.4g} "
+            f"(res={tuple(res)}); use the dense or cell-list engine")
+    per = domain.periodic_axes(dim)
+    caps = []
+    for off in _image_offsets(dim):
+        if any(off[d] != 0 and not per[d] for d in range(dim)):
+            caps.append(0)
+            continue
+        frac = 1.0
+        for d in range(dim):
+            if off[d] != 0:
+                frac *= min(1.0, cutoff / ext[d])
+        caps.append(max(int(np.ceil(n * frac * ghost_safety / 8.0) * 8), 8))
+    n_ghost = sum(caps)
+    n_raw = n + n_ghost
+    if wseg <= 0:
+        # a tile's fast-axis run spans ~tile/occ + 2.2 cells of average
+        # occupancy occ = particles per interior cell (ghost bands track it);
+        # +128 absorbs the lane-alignment of window starts (Mosaic DMA)
+        occ = n_raw / max(int(np.prod(res)), 1)
+        run_est = (tile + 2.2 * occ) * seg_safety
+        wseg = int(np.ceil(max(run_est, 1.0) / 128.0) * 128) + 128
+    wseg = min(wseg, int(np.ceil(n_raw / 128.0) * 128))
+    quantum = int(np.lcm(tile, 128))
+    n_sorted = int(np.ceil(max(n_raw, wseg) / quantum) * quantum)
+    return WindowSpec(res=tuple(int(r) for r in res), cutoff=float(cutoff),
+                      ghost_caps=tuple(caps), tile=tile, wseg=int(wseg),
+                      n_sorted=n_sorted)
+
+
+class WindowData(NamedTuple):
+    """Built structure over one snapshot of positions.
+
+    g:        [Ns] original row feeding each sorted row (N = zero-mass pad)
+    src:      [Ns] sorted row holding the OWNER copy of each sorted row
+    is_real:  [Ns] bool, True where the sorted row is an original particle
+    pos_s:    [Ns, D] sorted extended positions (images pre-shifted)
+    shift_s:  [Ns, D] image shift per sorted row (refresh pos without rebuild)
+    w_lo:     [n_tiles, n_seg] segment start row per tile
+    overflow: [] tiles*segments whose true run exceeded wseg + dropped ghosts
+    max_run:  [] largest aligned window length actually required
+    """
+
+    g: jax.Array
+    src: jax.Array
+    is_real: jax.Array
+    pos_s: jax.Array
+    shift_s: jax.Array
+    w_lo: jax.Array
+    overflow: jax.Array
+    max_run: jax.Array
+
+
+def _pack_offset(mask, orig_idx, cap, n):
+    pos = jnp.cumsum(mask) - 1
+    tgt = jnp.where(mask & (pos < cap), pos, cap)
+    buf = jnp.full((cap + 1,), n, jnp.int32)
+    buf = buf.at[tgt].set(orig_idx, mode="drop")
+    dropped = jnp.sum(mask) - jnp.sum(buf[:cap] < n)
+    return buf[:cap], dropped
+
+
+def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
+    """Build the sorted pencil-window structure (one argsort)."""
+    n, dim = pos.shape
+    dtype = pos.dtype
+    lo = domain.lo.astype(dtype)
+    ext = domain.extent.astype(dtype)
+    res = jnp.asarray(spec.res, dtype)
+    cell = ext / res
+    cut = jnp.asarray(spec.cutoff, dtype)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- periodic images within `cutoff` of each face ----
+    bufs, shifts, drops = [], [], []
+    for off, cap in zip(spec.image_offsets(), spec.ghost_caps):
+        if cap == 0:
+            continue
+        m = jnp.ones((n,), bool)
+        for d in range(dim):
+            if off[d] > 0:
+                m &= pos[:, d] < lo[d] + cut
+            elif off[d] < 0:
+                m &= pos[:, d] > lo[d] + ext[d] - cut
+        buf, dropped = _pack_offset(m, idx, cap, n)
+        bufs.append(buf)
+        shifts.append(jnp.broadcast_to(jnp.asarray(off, dtype) * ext,
+                                       (cap, dim)))
+        drops.append(dropped)
+
+    orig = jnp.concatenate([idx] + bufs) if bufs else idx
+    shift = (jnp.concatenate([jnp.zeros((n, dim), dtype)] + shifts)
+             if bufs else jnp.zeros((n, dim), dtype))
+    ghost_drop = sum(drops) if drops else jnp.zeros((), jnp.int32)
+
+    n_raw = orig.shape[0]
+    n_pad = spec.n_sorted - n_raw
+    if n_pad < 0:
+        raise ValueError("spec.n_sorted too small for ghosts; re-plan")
+    orig = jnp.concatenate([orig, jnp.full((n_pad,), n, jnp.int32)])
+    shift = jnp.concatenate([shift, jnp.zeros((n_pad, dim), dtype)])
+
+    valid = orig < n
+    pos_pad = jnp.concatenate([pos, jnp.zeros((1, dim), dtype)])
+    pos_e = pos_pad[jnp.minimum(orig, n)] + shift
+
+    # ---- extended-grid row-major keys (last axis fastest) ----
+    res_i = jnp.asarray(spec.res, jnp.int32)
+    c = jnp.clip(jnp.floor((pos_e - lo) / cell).astype(jnp.int32) + 1,
+                 0, res_i + 1)
+    res_ext = tuple(r + 2 for r in spec.res)
+    strides = np.concatenate([np.cumprod(res_ext[::-1])[-2::-1], [1]])
+    strides_j = jnp.asarray(strides, jnp.int32)
+
+    def code(coords):
+        return jnp.sum(coords * strides_j, axis=-1)
+
+    key = jnp.where(valid, code(c), _BIG)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    g = orig[order]
+    pos_s = pos_e[order]
+    c_s = c[order]
+    is_real = order < n
+
+    inv_real = jnp.full((n + 1,), spec.n_sorted - 1, jnp.int32)
+    rows = jnp.arange(spec.n_sorted, dtype=jnp.int32)
+    inv_real = inv_real.at[jnp.where(is_real, g, n)].set(rows, mode="drop")
+    src = inv_real[jnp.minimum(g, n)]
+
+    # ---- per-row pencil runs -> per-tile segment windows ----
+    # Dense cell-start table: first sorted row of every extended cell, built
+    # with one scatter-min + one reverse cumulative min (empty cells inherit
+    # the next cell's start). Replaces per-row binary searches entirely.
+    T, S, nt = spec.tile, spec.wseg, spec.n_tiles
+    n_seg = spec.n_seg
+    ncells_ext = int(np.prod(res_ext))
+    rows = jnp.arange(spec.n_sorted, dtype=jnp.int32)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    first = jnp.full((ncells_ext + 1,), spec.n_sorted, jnp.int32)
+    first = first.at[ncells_ext].min(n_valid)
+    first = first.at[jnp.minimum(key_s, ncells_ext)].min(
+        jnp.where(key_s < ncells_ext, rows, spec.n_sorted), mode="drop")
+    first = jax.lax.associative_scan(jnp.minimum, first, reverse=True)
+
+    # Only REAL rows define windows: ghost/pad rows' outputs are discarded
+    # (mirror_owner/scatter_real), so letting them widen tile unions only
+    # wastes wseg. Real interior coords are in [1, res], so +-1 offsets stay
+    # inside the extended grid and neighbor-cell codes are pure integer
+    # shifts of the row's own key.
+    fast_stride = int(strides[-1])  # == 1
+    starts, ends = [], []
+    for poff in _pencil_offsets(dim):
+        delta = int(np.dot(poff, strides[:-1])) if dim > 1 else 0
+        code_lo = key_s.astype(jnp.int32) + (delta - fast_stride)
+        code_hi = key_s.astype(jnp.int32) + (delta + fast_stride)
+        ws = first[jnp.clip(code_lo, 0, ncells_ext)]
+        we = first[jnp.clip(code_hi + 1, 0, ncells_ext)]
+        starts.append(jnp.where(is_real, ws, spec.n_sorted))
+        ends.append(jnp.where(is_real, we, 0))
+    w_start = jnp.stack(starts, axis=-1)  # [Ns, n_seg]
+    w_end = jnp.stack(ends, axis=-1)
+
+    ws_t = jnp.min(w_start.reshape(nt, T, n_seg), axis=1)
+    we_t = jnp.max(w_end.reshape(nt, T, n_seg), axis=1)
+    # align window starts down to the 128-lane tiling (Mosaic DMA offsets
+    # into lane-tiled memrefs must be provably 128-divisible); wseg budgets
+    # an extra 128 for this in plan_windows
+    w_lo = jnp.clip((ws_t // 128) * 128, 0, spec.n_sorted - S)
+    w_len = jnp.maximum(we_t - w_lo, 0)
+    overflow = jnp.sum(w_len > S) + ghost_drop
+
+    return WindowData(g=g, src=src, is_real=is_real, pos_s=pos_s,
+                      shift_s=shift[order], w_lo=w_lo, overflow=overflow,
+                      max_run=jnp.max(we_t - jnp.clip((ws_t // 128) * 128, 0,
+                                                      None)))
+
+
+def gather_sorted(field_orig, wd: WindowData, fill=0.0):
+    """[N, ...] original-order field -> [Ns, ...] sorted order (owner values)."""
+    n = field_orig.shape[0]
+    pad = jnp.full((1,) + field_orig.shape[1:], fill, field_orig.dtype)
+    padded = jnp.concatenate([field_orig, pad])
+    return padded[jnp.minimum(wd.g, n)]
+
+
+def mirror_owner(field_sorted, wd: WindowData):
+    """Replace ghost rows with their owner's value (one gather)."""
+    return field_sorted[wd.src]
+
+
+def scatter_real(field_sorted, wd: WindowData, n: int):
+    """[Ns, ...] sorted -> [N, ...] original order (ghost/pad rows dropped)."""
+    tgt = jnp.where(wd.is_real, wd.g, n)
+    out = jnp.zeros((n + 1,) + field_sorted.shape[1:], field_sorted.dtype)
+    return out.at[tgt].set(field_sorted, mode="drop")[:n]
+
+
+def refresh_pos(pos, wd: WindowData):
+    """Recompute sorted extended positions for NEW particle positions using a
+    stale structure (Verlet-skin cadence: valid while drift < skin/2)."""
+    return gather_sorted(pos, wd) + wd.shift_s
+
+
+def plan_measured(pos, domain: Domain, h_max: float, dim: int,
+                  headroom: float = 1.15, **kw) -> WindowSpec:
+    """Plan, build once, and re-plan with the measured max window length.
+
+    The analytic wseg estimate can miss density fluctuations; this builds the
+    structure on the actual positions and sizes wseg to the true requirement
+    times ``headroom`` (rounded up to 128). One extra build at setup time.
+    """
+    import dataclasses as _dc
+
+    n = pos.shape[0]
+    spec = plan_windows(domain, h_max, n, dim, **kw)
+    wd = build(pos, domain, spec)
+    need = int(wd.max_run) * headroom
+    wseg = max(int(np.ceil(need / 128.0) * 128), 128)
+    wseg = min(wseg, int(np.ceil(spec.n_sorted / 128.0) * 128))
+    if wseg == spec.wseg:
+        return spec
+    n_sorted = int(np.ceil(max(spec.n_sorted, wseg) /
+                           np.lcm(spec.tile, 128)) * np.lcm(spec.tile, 128))
+    return _dc.replace(spec, wseg=wseg, n_sorted=n_sorted)

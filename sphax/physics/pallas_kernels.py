@@ -1,0 +1,383 @@
+"""Fused Pallas TPU kernels for the SPH hot path (SURVEY.md C4/C5/C7/C8, §7).
+
+These kernels consume the sorted pencil-window structure
+(sphax/neighbors/window.py): one grid program per tile of T=128 consecutive
+sorted rows; the program DMAs its 3^(D-1) candidate segments (contiguous
+HBM rows -> VMEM scratch — the pencil sort is exactly what turns neighbor
+search into *sequential* loads instead of random gathers) and then runs
+maskless dense [T, S] VPU arithmetic, accumulating over segments so live
+intermediates stay ~[128, wseg]:
+
+  * kernel A — adaptive-h Newton iterations FUSED with density/d(rho)/dh
+    summation: candidate windows and pair distances are computed once and
+    reused by every Newton iteration;
+  * kernel B — Balsara div/curl estimators;
+  * kernel C — symmetrized pressure force + artificial viscosity + du/dt.
+
+All pair formulae are literal transcriptions of sphax/physics/pairs.py (the
+numerical contract, SURVEY.md §2.1); the parity suite pins them to the
+float64 reference at 1e-6 (interpret mode on CPU, real kernels on TPU).
+
+Zero-mass padding + the first-occurrence duplicate mask (computed from the
+scalar-prefetched w_lo table) make every invalid/duplicate candidate
+contribute exactly zero, so there is no masking in the inner loops.
+
+Mosaic notes: window starts are pre-aligned to the 128-lane tiling
+(window.build), every ref slice here is kept 2D ([1, S] / [T, S]), and the
+Newton loop is a lax.fori_loop so the unroll stays ~n_seg bodies.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sphax.configs import SPHConfig
+from sphax.neighbors.window import WindowData, WindowSpec
+from sphax.physics import kernels as K
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# shared in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S):
+    """Copy all candidate segments of all window fields into VMEM scratch.
+
+    wbuf: [n_fields, n_seg, 1, S]; one DMA per (field, segment).
+    """
+    for f, ref in enumerate(win_refs):
+        for s in range(n_seg):
+            base = pl.multiple_of(wl_ref[i, s], 128)
+            cp = pltpu.make_async_copy(
+                ref.at[:, pl.ds(base, S)],
+                wbuf.at[f, s],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+
+def _seg_keep(wl_ref, i, s, S, dtype):
+    """First-occurrence weight (1/0) for segment s vs earlier segments."""
+    base = wl_ref[i, s]
+    k = base + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    dup = jnp.zeros((1, S), jnp.bool_)
+    for sp in range(s):
+        b = wl_ref[i, sp]
+        dup |= (k >= b) & (k < b + S)
+    return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
+
+
+def _cubic_w(q, h, dim):
+    sig = K.sigma(dim)
+    q1 = 1.0 - 1.5 * q * q + 0.75 * q * q * q
+    t = 2.0 - q
+    q2 = 0.25 * t * t * t
+    f = jnp.where(q < 1.0, q1, jnp.where(q < 2.0, q2, 0.0))
+    return (sig / h**dim) * f
+
+
+def _cubic_dwdh(q, h, w, dim):
+    sig = K.sigma(dim)
+    d1 = (-3.0 + 2.25 * q) * q
+    t = 2.0 - q
+    d2 = -0.75 * t * t
+    df = jnp.where(q < 1.0, d1, jnp.where(q < 2.0, d2, 0.0))
+    dwdq = (sig / h**dim) * df
+    return -(dim * w + q * dwdq) / h
+
+
+def _cubic_g(q, r, h, dim, eps=1e-30):
+    sig = K.sigma(dim)
+    g1 = (-3.0 + 2.25 * q) / h
+    t = 2.0 - q
+    g2 = -0.75 * t * t / jnp.maximum(r, eps)
+    g = jnp.where(q < 1.0, g1, jnp.where(q < 2.0, g2, 0.0))
+    return (sig / h**dim) * g / h
+
+
+def _prep(spec: WindowSpec):
+    return spec.tile, spec.wseg, spec.n_seg, spec.n_tiles, spec.n_sorted
+
+
+def _row(x):
+    return x.reshape(1, -1)
+
+
+def _own_spec(T):
+    return pl.BlockSpec((1, T), lambda i, wl: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _col(ref, T):
+    """Own-field block [1, T] -> [T, 1] column for broadcasting."""
+    return ref[:, :].reshape(T, 1)
+
+
+def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
+          extra_scratch=()):
+    T, S, n_seg, nt, Ns = _prep(spec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[_own_spec(T)] * len(own)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(win),
+        out_specs=[_own_spec(T)] * n_out,
+        scratch_shapes=[pltpu.VMEM((len(win), n_seg, 1, S), dtype),
+                        pltpu.SemaphoreType.DMA] + list(extra_scratch),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, Ns), dtype)] * n_out,
+        interpret=_interpret(),
+    )(wd.w_lo, *[_row(a) for a in own], *[_row(a) for a in win])
+    return [o.reshape(Ns) for o in outs]
+
+
+# ---------------------------------------------------------------------------
+# kernel A: fused Newton-h + density + drho/dh
+# ---------------------------------------------------------------------------
+
+
+def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
+                    cfg: SPHConfig):
+    """Returns (h, rho, drho_dh) per sorted row; windows DMA'd once and
+    reused by every Newton iteration (same iteration as dense/clist/wengine).
+    """
+    T, S, n_seg, nt, Ns = _prep(spec)
+    dim = cfg.dim
+    dtype = pos_s.dtype
+    iters = cfg.newton_iters if cfg.adaptive_h else 0
+    eta_d = float(cfg.eta) ** dim
+
+    def kernel(wl_ref, *refs):
+        n_own, n_win = dim + 2, dim + 1
+        own_refs = refs[:n_own]
+        win_refs = refs[n_own:n_own + n_win]
+        h_out, rho_out, drdh_out = refs[n_own + n_win:n_own + n_win + 3]
+        wbuf, sem, rbuf = refs[-3:]
+        i = pl.program_id(0)
+        _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S)
+
+        xi = [_col(own_refs[d], T) for d in range(dim)]
+        m_i = _col(own_refs[dim], T)
+        h_i = _col(own_refs[dim + 1], T)
+
+        # pair distances + dedup'd masses once, reused across iterations
+        for s in range(n_seg):
+            r2 = jnp.zeros((T, S), dtype)
+            for d in range(dim):
+                dxd = xi[d] - wbuf[d, s]
+                r2 = r2 + dxd * dxd
+            rbuf[s] = jnp.sqrt(r2)
+            wbuf[dim, s] = wbuf[dim, s] * _seg_keep(wl_ref, i, s, S, dtype)
+
+        def sums(h):
+            rho = jnp.zeros((T, 1), dtype)
+            drdh = jnp.zeros((T, 1), dtype)
+            for s in range(n_seg):
+                r = rbuf[s]
+                m_j = wbuf[dim, s]
+                q = r / h
+                w = _cubic_w(q, h, dim)
+                dwdh = _cubic_dwdh(q, h, w, dim)
+                rho = rho + jnp.sum(m_j * w, axis=1, keepdims=True)
+                drdh = drdh + jnp.sum(m_j * dwdh, axis=1, keepdims=True)
+            return rho, drdh
+
+        m_safe = jnp.maximum(m_i, 1e-30)
+
+        def newton(_, h):
+            rho, drdh = sums(h)
+            rho = jnp.maximum(rho, 1e-30)
+            rho_h = m_safe * eta_d / h**dim
+            phi = rho - rho_h
+            dphi = drdh + dim * rho_h / h
+            dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
+            dh = jnp.clip(-phi / dphi, -0.5 * h, 0.5 * h)
+            return h + dh
+
+        h = jax.lax.fori_loop(0, iters, newton, h_i) if iters else h_i
+        rho, drdh = sums(h)
+        h_out[:, :] = h.reshape(1, T)
+        rho_out[:, :] = rho.reshape(1, T)
+        drdh_out[:, :] = drdh.reshape(1, T)
+
+    own = [pos_s[:, d] for d in range(dim)] + [mass_s, h0_s]
+    win = [pos_s[:, d] for d in range(dim)] + [mass_s]
+    rscratch = pltpu.VMEM((n_seg, T, S), dtype)
+    h, rho, drdh = _call(kernel, spec, wd, own, win, 3, dtype,
+                         extra_scratch=[rscratch])
+    return h, rho, drdh
+
+
+# ---------------------------------------------------------------------------
+# kernel B: Balsara div/curl estimator sums
+# ---------------------------------------------------------------------------
+
+
+def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
+            cfg: SPHConfig):
+    """Returns (div_sum, curl_mag_sum): unnormalised estimator sums."""
+    T, S, n_seg, nt, Ns = _prep(spec)
+    dim = cfg.dim
+    dtype = pos_s.dtype
+
+    def kernel(wl_ref, *refs):
+        n_own = 2 * dim + 1
+        n_win = 2 * dim + 1
+        own_refs = refs[:n_own]
+        win_refs = refs[n_own:n_own + n_win]
+        div_out, curl_out = refs[n_own + n_win:n_own + n_win + 2]
+        wbuf, sem = refs[-2:]
+        i = pl.program_id(0)
+        _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S)
+
+        xi = [_col(own_refs[d], T) for d in range(dim)]
+        vi = [_col(own_refs[dim + d], T) for d in range(dim)]
+        h_i = _col(own_refs[2 * dim], T)
+
+        divv = jnp.zeros((T, 1), dtype)
+        curl = [jnp.zeros((T, 1), dtype) for _ in range(3)]
+        for s in range(n_seg):
+            keep = _seg_keep(wl_ref, i, s, S, dtype)
+            xj = [wbuf[d, s] for d in range(dim)]
+            vj = [wbuf[dim + d, s] for d in range(dim)]
+            m_j = wbuf[2 * dim, s] * keep
+            dx = [xi[d] - xj[d] for d in range(dim)]
+            dv = [vi[d] - vj[d] for d in range(dim)]
+            r2 = sum(d_ * d_ for d_ in dx)
+            r = jnp.sqrt(r2)
+            g = _cubic_g(r / h_i, r, h_i, dim)
+            mw = m_j * g
+            vdotr = sum(dv[d] * dx[d] for d in range(dim))
+            divv = divv + jnp.sum(mw * vdotr, axis=1, keepdims=True)
+            if dim == 3:
+                curl[0] += jnp.sum(mw * (dv[1] * dx[2] - dv[2] * dx[1]),
+                                   axis=1, keepdims=True)
+                curl[1] += jnp.sum(mw * (dv[2] * dx[0] - dv[0] * dx[2]),
+                                   axis=1, keepdims=True)
+                curl[2] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
+                                   axis=1, keepdims=True)
+            elif dim == 2:
+                curl[0] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
+                                   axis=1, keepdims=True)
+        div_out[:, :] = divv.reshape(1, T)
+        if dim == 3:
+            cm = jnp.sqrt(curl[0] ** 2 + curl[1] ** 2 + curl[2] ** 2)
+        elif dim == 2:
+            cm = jnp.abs(curl[0])
+        else:
+            cm = jnp.zeros((T, 1), dtype)
+        curl_out[:, :] = cm.reshape(1, T)
+
+    own = ([pos_s[:, d] for d in range(dim)]
+           + [vel_s[:, d] for d in range(dim)] + [h_s])
+    win = ([pos_s[:, d] for d in range(dim)]
+           + [vel_s[:, d] for d in range(dim)] + [mass_s])
+    div_sum, curl_sum = _call(kernel, spec, wd, own, win, 2, dtype)
+    return div_sum, curl_sum
+
+
+# ---------------------------------------------------------------------------
+# kernel C: symmetrized pressure force + artificial viscosity + du/dt
+# ---------------------------------------------------------------------------
+
+
+def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
+           rho_s, P_s, cs_s, om_s, bf_s, cfg: SPHConfig):
+    """Returns (acc_s [Ns, D], du_s [Ns]). Literal pairs.force_terms."""
+    T, S, n_seg, nt, Ns = _prep(spec)
+    dim = cfg.dim
+    dtype = pos_s.dtype
+    use_bf = bool(cfg.balsara)
+    alpha, beta, epsv = (float(cfg.alpha_visc), float(cfg.beta_visc),
+                         float(cfg.eps_visc))
+    n_scal = 5 + (1 if use_bf else 0)  # h, rho, P, cs, om (, bf)
+
+    def kernel(wl_ref, *refs):
+        n_own = 2 * dim + n_scal
+        n_win = 2 * dim + n_scal + 1  # + mass
+        own_refs = refs[:n_own]
+        win_refs = refs[n_own:n_own + n_win]
+        out_refs = refs[n_own + n_win:n_own + n_win + dim + 1]
+        wbuf, sem = refs[-2:]
+        i = pl.program_id(0)
+        _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S)
+
+        o = iter(range(n_own))
+        xi = [_col(own_refs[next(o)], T) for _ in range(dim)]
+        vi = [_col(own_refs[next(o)], T) for _ in range(dim)]
+        h_i = _col(own_refs[next(o)], T)
+        rho_i = _col(own_refs[next(o)], T)
+        P_i = _col(own_refs[next(o)], T)
+        cs_i = _col(own_refs[next(o)], T)
+        om_i = _col(own_refs[next(o)], T)
+        bf_i = _col(own_refs[next(o)], T) if use_bf else None
+
+        ci = P_i / (om_i * rho_i * rho_i)
+
+        acc = [jnp.zeros((T, 1), dtype) for _ in range(dim)]
+        du = jnp.zeros((T, 1), dtype)
+        for s in range(n_seg):
+            keep = _seg_keep(wl_ref, i, s, S, dtype)
+            w = iter(range(n_win))
+            xj = [wbuf[next(w), s] for _ in range(dim)]
+            vj = [wbuf[next(w), s] for _ in range(dim)]
+            m_j = wbuf[next(w), s] * keep
+            h_j = wbuf[next(w), s]
+            rho_j = wbuf[next(w), s]
+            P_j = wbuf[next(w), s]
+            cs_j = wbuf[next(w), s]
+            om_j = wbuf[next(w), s]
+            bf_j = wbuf[next(w), s] if use_bf else None
+
+            dx = [xi[d] - xj[d] for d in range(dim)]
+            dv = [vi[d] - vj[d] for d in range(dim)]
+            r2 = sum(d_ * d_ for d_ in dx)
+            r = jnp.sqrt(r2)
+
+            gi = _cubic_g(r / h_i, r, h_i, dim)
+            gj = _cubic_g(r / h_j, r, h_j, dim)
+            gbar = 0.5 * (gi + gj)
+            cj = P_j / (om_j * rho_j * rho_j)
+
+            vdotr = sum(dv[d] * dx[d] for d in range(dim))
+            hbar = 0.5 * (h_i + h_j)
+            mu = hbar * vdotr / (r2 + epsv * hbar * hbar)
+            mu = jnp.where(vdotr < 0.0, mu, 0.0)
+            cbar = 0.5 * (cs_i + cs_j)
+            rhobar = 0.5 * (rho_i + rho_j)
+            Pi = (-alpha * cbar * mu + beta * mu * mu) / rhobar
+            if use_bf:
+                Pi = Pi * (0.5 * (bf_i + bf_j))
+
+            fcoef = m_j * (ci * gi + cj * gj + Pi * gbar)
+            for d in range(dim):
+                acc[d] = acc[d] - jnp.sum(fcoef * dx[d], axis=1,
+                                          keepdims=True)
+            du = du + jnp.sum(m_j * (ci * gi + 0.5 * Pi * gbar) * vdotr,
+                              axis=1, keepdims=True)
+        for d in range(dim):
+            out_refs[d][:, :] = acc[d].reshape(1, T)
+        out_refs[dim][:, :] = du.reshape(1, T)
+
+    own = ([pos_s[:, d] for d in range(dim)]
+           + [vel_s[:, d] for d in range(dim)]
+           + [h_s, rho_s, P_s, cs_s, om_s]
+           + ([bf_s] if use_bf else []))
+    win = ([pos_s[:, d] for d in range(dim)]
+           + [vel_s[:, d] for d in range(dim)]
+           + [mass_s, h_s, rho_s, P_s, cs_s, om_s]
+           + ([bf_s] if use_bf else []))
+    outs = _call(kernel, spec, wd, own, win, dim + 1, dtype)
+    acc = jnp.stack(outs[:dim], axis=-1)
+    return acc, outs[dim]

@@ -1,0 +1,279 @@
+"""Sorted-window execution engine (SURVEY.md §3.4 realised; hot path).
+
+Consumes the structure from sphax.neighbors.window: tiles of T consecutive
+Morton-sorted rows interact with a contiguous candidate window of ``wmax``
+sorted rows. Because images are pre-shifted, pair displacement is a plain
+subtraction (no min-image), and window overruns are provably outside kernel
+support or zero-mass, so the inner loops are maskless dense [T, W] vector
+ops — exactly the shape the Pallas kernels consume (physics/pallas_kernels).
+
+This module provides the jnp fallback implementation (used for CPU tests and
+as the Pallas reference); ``update_derived`` dispatches to Pallas on TPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sphax.configs import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.neighbors import window as win
+from sphax.neighbors.window import WindowData, WindowSpec
+from sphax.physics import pairs
+from sphax.physics.eos import eos
+
+
+def dedup_mask(w_lo_block, n_seg: int, S: int):
+    """First-occurrence mask over a tile's stacked segments.
+
+    Tiles spanning several pencils produce OVERLAPPING segment ranges (the
+    per-tile union widens each range); a candidate row must count exactly
+    once, so segment s keeps row k only if no earlier segment's clamped
+    window [w_lo[s'], w_lo[s']+S) already contains k. With this mask the
+    fixed-width windows are exact: every kept extra row is provably beyond
+    the kernel support (next-but-one cells in row-major order).
+    """
+    ar = jnp.arange(S, dtype=jnp.int32)
+    k = w_lo_block[..., None] + ar                       # [TB, n_seg, S]
+    keep = jnp.ones(k.shape, bool)
+    for s in range(1, n_seg):
+        dup = jnp.zeros(k.shape[:-2] + (S,), bool)
+        for sp in range(s):
+            lo = w_lo_block[..., sp, None]
+            dup |= (k[..., s, :] >= lo) & (k[..., s, :] < lo + S)
+        keep = keep.at[..., s, :].set(~dup)
+    return keep.reshape(k.shape[:-2] + (n_seg * S,))
+
+
+def _tile_pass(kernel_fn, wd: WindowData, spec: WindowSpec, own_fields,
+               win_fields, tile_block: int, mass_axis: int = None):
+    """Map kernel_fn over blocks of tiles.
+
+    own_fields/win_fields: [Ns, ...] sorted arrays. kernel_fn(own, winf)
+    gets own [TB, T, ...] and window [TB, n_seg*S, ...] gathers, returns a
+    pytree of [TB, T, ...]. ``mass_axis`` names the win_fields entry that
+    carries the pair weight; it is zeroed on duplicate candidates.
+    """
+    T, S, nt = spec.tile, spec.wseg, spec.n_tiles
+    n_seg = spec.n_seg
+    TB = tile_block
+    nb = -(-nt // TB)
+
+    def slice_win(f, lo):
+        return jax.lax.dynamic_slice_in_dim(f, lo, S, axis=0)
+
+    def body(b):
+        t0 = b * TB
+        t0 = jnp.minimum(t0, nt - TB)
+        own = tuple(
+            jax.lax.dynamic_slice_in_dim(f, t0 * T, TB * T, axis=0)
+            .reshape((TB, T) + f.shape[1:]) for f in own_fields)
+        w_lo = jax.lax.dynamic_slice_in_dim(wd.w_lo, t0, TB, axis=0)
+        # [TB, n_seg] starts -> per field [TB, n_seg * S] stacked candidates
+        winf = [
+            jax.vmap(jax.vmap(lambda lo, ff=f: slice_win(ff, lo)))(w_lo)
+            .reshape((TB, n_seg * S) + f.shape[1:])
+            for f in win_fields]
+        if mass_axis is not None and n_seg > 1:
+            keep = dedup_mask(w_lo, n_seg, S)
+            winf[mass_axis] = jnp.where(keep, winf[mass_axis], 0.0)
+        return kernel_fn(own, tuple(winf))
+
+    out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))
+
+    def unblock(o):  # [nb, TB, T, ...] -> [Ns, ...] (overlap-safe: rows
+        # recomputed by the clamped final block hold identical values)
+        flat = o.reshape((nb * TB * T,) + o.shape[3:])
+        if nb * TB == nt:
+            return flat
+        # last block was clamped to start at nt-TB; reassemble
+        head = flat[: (nb - 1) * TB * T]
+        tail = flat[(nb - 1) * TB * T:]
+        keep = nt * T - (nb - 1) * TB * T
+        return jnp.concatenate([head, tail[-keep:]])
+
+    return jax.tree_util.tree_map(unblock, out)
+
+
+def _geom(pos_own, pos_win):
+    """Plain displacement — images are pre-shifted, no min-image needed."""
+    dx = pos_own[:, :, None, :] - pos_win[:, None, :, :]
+    r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    return dx, r
+
+
+# ---------------------------------------------------------------------------
+# jnp tile passes (the Pallas kernels implement the same contracts)
+# ---------------------------------------------------------------------------
+
+
+def density_pass(wd, spec, pos_s, mass_s, h_s, dim, tile_block):
+    def kfn(own, winf):
+        (pos_i, h_i), (pos_j, m_j) = own, winf
+        _, r = _geom(pos_i, pos_j)
+        w, dwdh = pairs.density_terms(r, h_i[..., None], m_j[:, None, :], dim)
+        return jnp.sum(w, -1), jnp.sum(dwdh, -1)
+
+    return _tile_pass(kfn, wd, spec, (pos_s, h_s), (pos_s, mass_s),
+                      tile_block, mass_axis=1)
+
+
+def solve_h(wd, spec, pos_s, mass_s, h0_s, cfg: SPHConfig, tile_block):
+    dim = cfg.dim
+
+    def it(_, h_s):
+        rho, drho_dh = density_pass(wd, spec, pos_s, mass_s, h_s, dim,
+                                    tile_block)
+        rho = jnp.maximum(rho, 1e-30)
+        m_safe = jnp.maximum(mass_s, 1e-30)
+        rho_h = m_safe * (cfg.eta / h_s) ** dim
+        phi = rho - rho_h
+        dphi = drho_dh + dim * rho_h / h_s
+        dphi = jnp.where(jnp.abs(dphi) < 1e-300, -1e-300, dphi)
+        dh = jnp.clip(-phi / dphi, -0.5 * h_s, 0.5 * h_s)
+        return h_s + dh
+
+    return jax.lax.fori_loop(0, cfg.newton_iters, it, h0_s)
+
+
+def balsara_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, cs_s, cfg,
+                 tile_block):
+    dim = cfg.dim
+
+    def kfn(own, winf):
+        (pos_i, vel_i, h_i), (pos_j, vel_j, m_j) = own, winf
+        dx, r = _geom(pos_i, pos_j)
+        dv = vel_i[:, :, None, :] - vel_j[:, None, :, :]
+        divv_p, curl_p = pairs.balsara_terms(dx, r, dv, h_i[..., None],
+                                             m_j[:, None, :], dim)
+        divv = -jnp.sum(divv_p, -1)
+        if dim == 3:
+            curl = jnp.sum(curl_p, -2)
+            curl_mag = jnp.sqrt(jnp.sum(curl * curl, -1))
+        elif dim == 2:
+            curl_mag = jnp.abs(jnp.sum(curl_p, -1))
+        else:
+            curl_mag = jnp.zeros_like(divv)
+        return divv, curl_mag
+
+    divv, curl_mag = _tile_pass(kfn, wd, spec, (pos_s, vel_s, h_s),
+                                (pos_s, vel_s, mass_s), tile_block,
+                                mass_axis=2)
+    rho_safe = jnp.maximum(rho_s, 1e-15)
+    return pairs.balsara_factor(divv / rho_safe, curl_mag / rho_safe, cs_s,
+                                h_s)
+
+
+def force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s,
+               bf_s, cfg: SPHConfig, tile_block):
+    def kfn(own, winf):
+        if cfg.balsara:
+            (pos_i, vel_i, h_i, rho_i, P_i, cs_i, om_i, bf_i) = own
+            (pos_j, vel_j, m_j, h_j, rho_j, P_j, cs_j, om_j, bf_j) = winf
+        else:
+            (pos_i, vel_i, h_i, rho_i, P_i, cs_i, om_i) = own
+            (pos_j, vel_j, m_j, h_j, rho_j, P_j, cs_j, om_j) = winf
+            bf_i = bf_j = None
+        dx, r = _geom(pos_i, pos_j)
+        dv = vel_i[:, :, None, :] - vel_j[:, None, :, :]
+        e = lambda a: a[..., None]
+        f = lambda a: a[:, None, :]
+        fcoef, du = pairs.force_terms(
+            dx, r, dv, e(h_i), f(h_j), e(rho_i), f(rho_j), e(P_i), f(P_j),
+            e(cs_i), f(cs_j), e(om_i), f(om_j), f(m_j), cfg,
+            bf_i=(e(bf_i) if cfg.balsara else None),
+            bf_j=(f(bf_j) if cfg.balsara else None))
+        acc = -jnp.sum(fcoef[..., None] * dx, axis=-2)
+        return acc, jnp.sum(du, -1)
+
+    ofields = [pos_s, vel_s, h_s, rho_s, P_s, cs_s, om_s]
+    wfields = [pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s]
+    if cfg.balsara:
+        ofields.append(bf_s)
+        wfields.append(bf_s)
+    return _tile_pass(kfn, wd, spec, tuple(ofields), tuple(wfields),
+                      tile_block, mass_axis=2)
+
+
+# ---------------------------------------------------------------------------
+# full derived pass
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "tile_block", "use_pallas"))
+def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
+                   spec: WindowSpec, tile_block: int = 16,
+                   use_pallas: bool = False) -> ParticleState:
+    """Window-engine analogue of dense/clist update_derived (same math)."""
+    if state.dim != cfg.dim:
+        raise ValueError(f"state dim {state.dim} != cfg.dim {cfg.dim}")
+    n = state.n
+    wd = win.build(state.pos, domain, spec)
+
+    pos_s = wd.pos_s
+    vel_s = win.gather_sorted(state.vel, wd)
+    mass_s = win.gather_sorted(state.mass, wd)
+    u_s = win.gather_sorted(state.u, wd)
+    h_s = win.gather_sorted(state.h, wd, fill=1.0)
+
+    if use_pallas:
+        from sphax.physics import pallas_kernels as pk
+
+        h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s, mass_s,
+                                                 h_s, cfg)
+        h_s = win.mirror_owner(h_s, wd)
+    else:
+        if cfg.adaptive_h:
+            h_s = solve_h(wd, spec, pos_s, mass_s, h_s, cfg, tile_block)
+            h_s = win.mirror_owner(h_s, wd)
+        rho_s, drho_dh = density_pass(wd, spec, pos_s, mass_s, h_s, cfg.dim,
+                                      tile_block)
+    rho_s = jnp.maximum(rho_s, 1e-15)
+    if cfg.grad_h:
+        om_s = 1.0 + h_s / (cfg.dim * rho_s) * drho_dh
+    else:
+        om_s = jnp.ones_like(rho_s)
+    rho_s = win.mirror_owner(rho_s, wd)
+    om_s = win.mirror_owner(om_s, wd)
+    P_s, cs_s = eos(rho_s, u_s, cfg)
+    if cfg.balsara:
+        if use_pallas:
+            div_sum, curl_sum = pk.balsara(wd, spec, pos_s, vel_s, mass_s,
+                                           h_s, cfg)
+            rho_safe = jnp.maximum(rho_s, 1e-15)
+            bf_s = pairs.balsara_factor(-div_sum / rho_safe,
+                                        curl_sum / rho_safe, cs_s, h_s)
+        else:
+            bf_s = balsara_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
+                                cs_s, cfg, tile_block)
+        bf_s = win.mirror_owner(bf_s, wd)
+    else:
+        bf_s = jnp.ones_like(rho_s)
+    if use_pallas:
+        acc_s, du_s = pk.forces(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
+                                P_s, cs_s, om_s, bf_s, cfg)
+    else:
+        acc_s, du_s = force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
+                                 P_s, cs_s, om_s, bf_s, cfg, tile_block)
+
+    if cfg.gravity:
+        from sphax.physics.clist import gravity_dense
+        acc_g = gravity_dense(state.pos, state.mass, cfg, domain)
+    else:
+        acc_g = None
+
+    unsort = lambda v: win.scatter_real(v, wd, n)
+    acc = unsort(acc_s)
+    if acc_g is not None:
+        acc = acc + acc_g
+    return state._replace(h=unsort(h_s), rho=unsort(rho_s), P=unsort(P_s),
+                          cs=unsort(cs_s), omega=unsort(om_s), acc=acc,
+                          du_dt=unsort(du_s))
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def overflow_count(state: ParticleState, domain: Domain, spec: WindowSpec):
+    """Tiles whose candidate range exceeded wmax + dropped ghosts (must be 0)."""
+    return win.build(state.pos, domain, spec).overflow

@@ -1,0 +1,100 @@
+"""Sorted-window engine vs dense engine — must agree to fp roundoff.
+
+Same bar as the cell-list engine (SURVEY.md §4.2.2): the window structure
+must find every true neighbor pair, so x64 agreement at ~1e-10 proves it.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphax import SPHConfig, box, make_state
+from sphax.neighbors import window as win
+from sphax.physics import dense, wengine
+from tests.parity.test_dense_vs_reference import CONFIGS, make_problem
+
+
+def _setup(cfg, n_side, seed=3):
+    pos, vel, mass, u, h = make_problem(dim=cfg.dim, n_side=n_side, seed=seed)
+    dom = box(jnp.zeros(cfg.dim), jnp.ones(cfg.dim))
+    state = make_state(jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+                       jnp.asarray(u), jnp.asarray(h))
+    return state, dom
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_window_engine_agrees(name):
+    cfg = CONFIGS[name]
+    n_side = 12 if cfg.dim == 2 else 8
+    state, dom = _setup(cfg, n_side)
+    spec = win.plan_windows(dom, h_max=float(state.h.max()) * 1.25,
+                            n=state.n, dim=cfg.dim)
+    assert int(wengine.overflow_count(state, dom, spec)) == 0
+
+    a = dense.update_derived(state, cfg, dom, block=64)
+    b = wengine.update_derived(state, cfg, dom, spec, tile_block=4)
+
+    rtol = 1e-10
+    np.testing.assert_allclose(np.asarray(b.h), np.asarray(a.h), rtol=rtol)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho), rtol=rtol)
+    np.testing.assert_allclose(np.asarray(b.P), np.asarray(a.P), rtol=rtol)
+    np.testing.assert_allclose(np.asarray(b.omega), np.asarray(a.omega),
+                               rtol=rtol)
+    scale = float(jnp.max(jnp.abs(a.acc)))
+    np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                               rtol=rtol, atol=rtol * scale)
+    uscale = float(jnp.max(jnp.abs(a.du_dt))) + 1e-30
+    np.testing.assert_allclose(np.asarray(b.du_dt), np.asarray(a.du_dt),
+                               rtol=rtol, atol=rtol * uscale)
+
+
+def test_open_boundary():
+    """Non-periodic box: no images are generated, results still exact."""
+    cfg = SPHConfig(dim=3, adaptive_h=True, newton_iters=20)
+    state, _ = _setup(cfg, 8)
+    dom = box(jnp.zeros(3), jnp.ones(3), periodic=False)
+    spec = win.plan_windows(dom, h_max=float(state.h.max()) * 1.25,
+                            n=state.n, dim=3)
+    assert sum(spec.ghost_caps) == 0
+    assert int(wengine.overflow_count(state, dom, spec)) == 0
+    a = dense.update_derived(state, cfg, dom, block=64)
+    b = wengine.update_derived(state, cfg, dom, spec, tile_block=4)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                               rtol=1e-10)
+    scale = float(jnp.max(jnp.abs(a.acc)))
+    np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                               rtol=1e-10, atol=1e-10 * scale)
+
+
+def test_overflow_detected_when_wmax_too_small():
+    cfg = CONFIGS["fixed_h"]
+    state, dom = _setup(cfg, 8)
+    spec = win.plan_windows(dom, h_max=float(state.h.max()), n=state.n,
+                            dim=3, tile=64, wseg=128, seg_safety=0.01)
+    assert int(wengine.overflow_count(state, dom, spec)) > 0
+
+
+@pytest.mark.parametrize("name", ["fixed_h", "gradh", "balsara", "isothermal",
+                                  "dim2"])
+def test_pallas_kernels_agree(name):
+    """Pallas kernels (interpret mode on CPU) == jnp window path == dense."""
+    cfg = CONFIGS[name]
+    n_side = 12 if cfg.dim == 2 else 8
+    state, dom = _setup(cfg, n_side)
+    spec = win.plan_windows(dom, h_max=float(state.h.max()) * 1.25,
+                            n=state.n, dim=cfg.dim)
+    assert int(wengine.overflow_count(state, dom, spec)) == 0
+
+    a = dense.update_derived(state, cfg, dom, block=64)
+    b = wengine.update_derived(state, cfg, dom, spec, use_pallas=True)
+
+    rtol = 1e-10
+    np.testing.assert_allclose(np.asarray(b.h), np.asarray(a.h), rtol=rtol)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho), rtol=rtol)
+    np.testing.assert_allclose(np.asarray(b.omega), np.asarray(a.omega),
+                               rtol=rtol)
+    scale = float(jnp.max(jnp.abs(a.acc)))
+    np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                               rtol=rtol, atol=rtol * scale)
+    uscale = float(jnp.max(jnp.abs(a.du_dt))) + 1e-30
+    np.testing.assert_allclose(np.asarray(b.du_dt), np.asarray(a.du_dt),
+                               rtol=rtol, atol=rtol * uscale)
