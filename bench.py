@@ -5,11 +5,13 @@ Prints ONE JSON line:
 
 Baseline target (BASELINE.md): >1e8 particle-steps/sec/chip at N=10M on a
 v5p chip; ``vs_baseline`` is measured/1e8. This harness runs the driven
-isothermal turbulence box (BASELINE.json:11) through the fastest available
-single-chip engine at the largest N that fits comfortably, fp32.
+isothermal turbulence box (BASELINE.json:11) through the Pallas sorted-window
+engine (the production single-chip path): fused Newton-h/density, Balsara,
+and force kernels, window rebuild every 2 steps, whole run one lax.scan.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -22,37 +24,41 @@ def main():
 
     import sphax
     from sphax.ics import turbulence
-    from sphax.neighbors.cell_list import choose_grid
-    from sphax.physics import clist
-    from sphax.run import simulate
+    from sphax.neighbors import window as win
+    from sphax.physics import wengine
 
-    n_side = 48  # N = 110,592
-    steps = 20
+    n_side = 64   # N = 262,144
+    steps = 32
+    rebuild_every = 2
 
     ic = turbulence.build(n_side=n_side)
-    cfg = sphax.configs.TURB
+    # production setting: h warm-starts from the previous step, 2 Newton
+    # iterations keep it converged (physics configs keep 6 for cold solves)
+    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
     st = sphax.make_state(*(f32(ic[k]) for k in
                             ("pos", "vel", "mass", "u", "h")))
-    grid = choose_grid(dom, h_max=float(st.h.max()), n=st.n)
-    engine = lambda s: clist.update_derived(s, cfg, dom, grid)
-    st = engine(st)
-    # seed a velocity field so the run is dynamically representative
-    key = jax.random.PRNGKey(0)
-    st = st._replace(vel=0.3 * jax.random.normal(key, st.vel.shape,
-                                                 st.vel.dtype))
+    # dynamically representative: seeded velocity field
+    st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
+                                                 st.vel.shape, jnp.float32))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.3,
+                             dim=3, cutoff_scale=1.25)
+    st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
 
-    # warm-up / compile
-    st2, _, dts = simulate(st, cfg, dom, engine, 2)
+    run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
+                                     rebuild_every=rebuild_every,
+                                     use_pallas=True)
+    st2, _, dts = run(st)       # compile + warm
     jax.block_until_ready(st2.pos)
 
     t0 = time.time()
-    st2, _, dts = simulate(st2, cfg, dom, engine, steps)
+    st2, _, dts = run(st2)
     jax.block_until_ready(st2.pos)
     wall = time.time() - t0
 
     assert bool(jnp.isfinite(st2.rho).all()), "non-finite state in bench"
+    assert bool(jnp.all(dts > 0)), "non-positive dt in bench"
     pss = st.n * steps / wall
     print(json.dumps({
         "metric": "particle_steps_per_sec_per_chip",
@@ -62,7 +68,8 @@ def main():
         "n_particles": st.n,
         "steps": steps,
         "wall_s": round(wall, 3),
-        "engine": "clist-jnp",
+        "engine": "pallas-window",
+        "wseg": spec.wseg,
         "device": str(jax.devices()[0]),
     }))
 

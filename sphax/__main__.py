@@ -1,0 +1,117 @@
+"""CLI entry point: ``python -m sphax <problem> [key=value ...]``.
+
+Replaces the reference's per-problem scripts (SURVEY.md §3.1) with one
+driver: named problem, key=value overrides, JSONL metrics, npz snapshots,
+checkpoint/resume, optional profiler trace. Example:
+
+    python -m sphax turb n=48 t_end=1.0 out=runs/turb metrics_every=32
+    python -m sphax sod n=32 out=runs/sod
+    python -m sphax turb resume=runs/turb/checkpoint.npz
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+
+def _parse(argv):
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        from sphax.problems import REGISTRY
+        print("problems:", ", ".join(REGISTRY))
+        raise SystemExit(0)
+    name, kv = argv[0], {}
+    for a in argv[1:]:
+        k, _, v = a.partition("=")
+        try:
+            kv[k] = int(v)
+        except ValueError:
+            try:
+                kv[k] = float(v)
+            except ValueError:
+                kv[k] = v
+    return name, kv
+
+
+def main(argv=None):
+    name, kv = _parse(sys.argv[1:] if argv is None else argv)
+
+    out = kv.pop("out", f"runs/{name}")
+    t_end = kv.pop("t_end", None)
+    chunk = int(kv.pop("chunk", 16))
+    metrics_every = int(kv.pop("metrics_every", 1))   # in chunks
+    snapshot_every = int(kv.pop("snapshot_every", 0))  # in chunks; 0 = off
+    checkpoint_every = int(kv.pop("checkpoint_every", 8))
+    resume = kv.pop("resume", None)
+    profile = kv.pop("profile", 0)
+
+    from sphax.diag import conservation
+    from sphax.io import checkpoint, metrics
+    from sphax.problems import REGISTRY
+    from sphax.run import simulate
+
+    prob = REGISTRY[name](**kv)
+    t_end = float(t_end) if t_end is not None else prob.t_end
+    os.makedirs(out, exist_ok=True)
+    log = metrics.MetricsLogger(os.path.join(out, "metrics.jsonl"))
+
+    state, drive, t, step = prob.state, prob.drive, 0.0, 0
+    if resume:
+        state, t, step, drive, _ = checkpoint.load(str(resume))
+        print(f"resumed from {resume}: t={t:.4f} step={step}")
+
+    print(f"[{name}] N={state.n} dim={state.dim} t_end={t_end} "
+          f"device={jax.devices()[0]}")
+
+    def run_chunk(state, drive):
+        if prob.wspec is not None:
+            from sphax.physics import wengine
+            nst = chunk + (-chunk) % 2
+            return wengine.simulate(state, prob.cfg, prob.domain, prob.wspec,
+                                    nst, use_pallas=jax.default_backend()
+                                    != "cpu", drive=drive,
+                                    drive_spec=prob.drive_spec)
+        return simulate(state, prob.cfg, prob.domain, prob.engine, chunk,
+                        drive, prob.drive_spec)
+
+    if profile:
+        with metrics.profile_trace(os.path.join(out, "trace")):
+            state, drive, dts = run_chunk(state, drive)
+            jax.block_until_ready(state.pos)
+
+    nchunks = 0
+    import numpy as np
+    while t < t_end:
+        state, drive, dts = run_chunk(state, drive)
+        t += float(np.sum(np.asarray(dts)))
+        step += len(dts)
+        nchunks += 1
+        if nchunks % metrics_every == 0:
+            rec = log.log(state, prob.cfg, t, step)
+            print(f"  t={t:.4f} step={step} "
+                  f"pss={rec['particle_steps_per_sec']:.3e} "
+                  f"E={rec['e_total']:.5f} mach={rec['mach_rms']:.2f}")
+            if not rec["finite"]:
+                bad = checkpoint.verify_integrity(state)
+                raise RuntimeError(f"state corrupt at step {step}: {bad}")
+        if snapshot_every and nchunks % snapshot_every == 0:
+            np.savez_compressed(os.path.join(out, f"snap_{step:07d}.npz"),
+                                pos=np.asarray(state.pos),
+                                vel=np.asarray(state.vel),
+                                rho=np.asarray(state.rho),
+                                u=np.asarray(state.u), t=t)
+        if checkpoint_every and nchunks % checkpoint_every == 0:
+            checkpoint.save(os.path.join(out, "checkpoint.npz"), state, t,
+                            step, prob.drive and drive)
+
+    checkpoint.save(os.path.join(out, "checkpoint.npz"), state, t, step,
+                    prob.drive and drive)
+    rec = log.log(state, prob.cfg, t, step)
+    print(f"done: t={t:.4f} steps={step}; final E={rec['e_total']:.6f}; "
+          f"checkpoint + metrics in {out}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S):
     """
     for f, ref in enumerate(win_refs):
         for s in range(n_seg):
-            base = pl.multiple_of(wl_ref[i, s], 128)
+            base = pl.multiple_of(wl_ref[i * n_seg + s], 128)
             cp = pltpu.make_async_copy(
                 ref.at[:, pl.ds(base, S)],
                 wbuf.at[f, s],
@@ -64,13 +64,18 @@ def _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S):
             cp.wait()
 
 
-def _seg_keep(wl_ref, i, s, S, dtype):
-    """First-occurrence weight (1/0) for segment s vs earlier segments."""
-    base = wl_ref[i, s]
+def _seg_keep(wl_ref, i, s, S, dtype, n_seg):
+    """First-occurrence weight (1/0) for segment s vs earlier segments.
+
+    wl_ref is the FLATTENED [n_tiles * n_seg] start table — 2D SMEM arrays
+    get lane-padded to 128 ints per row, which blows the 1 MB SMEM budget at
+    large N; 1D stays compact.
+    """
+    base = wl_ref[i * n_seg + s]
     k = base + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     dup = jnp.zeros((1, S), jnp.bool_)
     for sp in range(s):
-        b = wl_ref[i, sp]
+        b = wl_ref[i * n_seg + sp]
         dup |= (k >= b) & (k < b + S)
     return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
 
@@ -138,7 +143,8 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, Ns), dtype)] * n_out,
         interpret=_interpret(),
-    )(wd.w_lo, *[_row(a) for a in own], *[_row(a) for a in win])
+    )(wd.w_lo.reshape(-1), *[_row(a) for a in own],
+      *[_row(a) for a in win])
     return [o.reshape(Ns) for o in outs]
 
 
@@ -157,6 +163,7 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     dtype = pos_s.dtype
     iters = cfg.newton_iters if cfg.adaptive_h else 0
     eta_d = float(cfg.eta) ** dim
+    hcap = 0.5 * float(spec.cutoff)
 
     def kernel(wl_ref, *refs):
         n_own, n_win = dim + 2, dim + 1
@@ -178,7 +185,7 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
                 dxd = xi[d] - wbuf[d, s]
                 r2 = r2 + dxd * dxd
             rbuf[s] = jnp.sqrt(r2)
-            wbuf[dim, s] = wbuf[dim, s] * _seg_keep(wl_ref, i, s, S, dtype)
+            wbuf[dim, s] = wbuf[dim, s] * _seg_keep(wl_ref, i, s, S, dtype, n_seg)
 
         def sums(h):
             rho = jnp.zeros((T, 1), dtype)
@@ -203,7 +210,8 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
             dphi = drdh + dim * rho_h / h
             dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
             dh = jnp.clip(-phi / dphi, -0.5 * h, 0.5 * h)
-            return h + dh
+            # structural cap: windows only cover neighbours to spec.cutoff
+            return jnp.minimum(h + dh, hcap)
 
         h = jax.lax.fori_loop(0, iters, newton, h_i) if iters else h_i
         rho, drdh = sums(h)
@@ -248,7 +256,7 @@ def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
         divv = jnp.zeros((T, 1), dtype)
         curl = [jnp.zeros((T, 1), dtype) for _ in range(3)]
         for s in range(n_seg):
-            keep = _seg_keep(wl_ref, i, s, S, dtype)
+            keep = _seg_keep(wl_ref, i, s, S, dtype, n_seg)
             xj = [wbuf[d, s] for d in range(dim)]
             vj = [wbuf[dim + d, s] for d in range(dim)]
             m_j = wbuf[2 * dim, s] * keep
@@ -328,7 +336,7 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
         acc = [jnp.zeros((T, 1), dtype) for _ in range(dim)]
         du = jnp.zeros((T, 1), dtype)
         for s in range(n_seg):
-            keep = _seg_keep(wl_ref, i, s, S, dtype)
+            keep = _seg_keep(wl_ref, i, s, S, dtype, n_seg)
             w = iter(range(n_win))
             xj = [wbuf[next(w), s] for _ in range(dim)]
             vj = [wbuf[next(w), s] for _ in range(dim)]

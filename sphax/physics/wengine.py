@@ -133,7 +133,8 @@ def solve_h(wd, spec, pos_s, mass_s, h0_s, cfg: SPHConfig, tile_block):
         dphi = drho_dh + dim * rho_h / h_s
         dphi = jnp.where(jnp.abs(dphi) < 1e-300, -1e-300, dphi)
         dh = jnp.clip(-phi / dphi, -0.5 * h_s, 0.5 * h_s)
-        return h_s + dh
+        # structural cap: the window covers neighbours to spec.cutoff only
+        return jnp.minimum(h_s + dh, 0.5 * spec.cutoff)
 
     return jax.lax.fori_loop(0, cfg.newton_iters, it, h0_s)
 
@@ -202,17 +203,19 @@ def force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "spec", "tile_block", "use_pallas"))
-def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
-                   spec: WindowSpec, tile_block: int = 16,
-                   use_pallas: bool = False) -> ParticleState:
-    """Window-engine analogue of dense/clist update_derived (same math)."""
+def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
+                 spec: WindowSpec, tile_block: int = 16,
+                 use_pallas: bool = False) -> ParticleState:
+    """Derived pass against a PRE-BUILT (possibly stale) window structure.
+
+    Valid under the Verlet-skin contract: spec.cutoff exceeds the physical
+    support 2 h_max, and total drift since the build is under half the slack
+    (window.refresh_pos re-derives image positions from current ones).
+    """
     if state.dim != cfg.dim:
         raise ValueError(f"state dim {state.dim} != cfg.dim {cfg.dim}")
     n = state.n
-    wd = win.build(state.pos, domain, spec)
-
-    pos_s = wd.pos_s
+    pos_s = win.refresh_pos(state.pos, wd)
     vel_s = win.gather_sorted(state.vel, wd)
     mass_s = win.gather_sorted(state.mass, wd)
     u_s = win.gather_sorted(state.u, wd)
@@ -271,6 +274,75 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
     return state._replace(h=unsort(h_s), rho=unsort(rho_s), P=unsort(P_s),
                           cs=unsort(cs_s), omega=unsort(om_s), acc=acc,
                           du_dt=unsort(du_s))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "tile_block", "use_pallas"))
+def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
+                   spec: WindowSpec, tile_block: int = 16,
+                   use_pallas: bool = False) -> ParticleState:
+    """Window-engine analogue of dense/clist update_derived (same math)."""
+    wd = win.build(state.pos, domain, spec)
+    return derived_with(state, wd, cfg, domain, spec, tile_block, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "nsteps", "rebuild_every",
+                                   "tile_block", "use_pallas", "drive_spec"))
+def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
+             spec: WindowSpec, nsteps: int, rebuild_every: int = 2,
+             tile_block: int = 16, use_pallas: bool = True,
+             drive=None, drive_spec=None):
+    """Window-engine production loop (nested lax.scan, zero host trips).
+
+    Outer iteration: wrap positions into the box and rebuild the window
+    structure; inner iterations: ``rebuild_every`` KDK steps against the
+    fixed structure with UNWRAPPED drift (a wrap teleports a particle to the
+    far side of the box, which a stale structure cannot represent — the same
+    reason the slab engine wraps only at redistribution; spec.cutoff's
+    margin over 2 h_max must cover the unwrapped drift between rebuilds).
+    Returns (state, drive, dts).
+    """
+    from sphax.integrate import leapfrog
+    from sphax.integrate.timestep import local_dt
+    from sphax.physics import driving as drv_mod
+
+    if nsteps % rebuild_every:
+        raise ValueError("nsteps must be a multiple of rebuild_every")
+
+    def inner(carry, _):
+        st, wd, dr = carry
+        dt = local_dt(st, cfg)
+        if drive_spec is not None:
+            modes = jnp.asarray(drive_spec.modes, st.pos.dtype)
+            dr = drv_mod.update(dr, modes, dt, drive_spec.tau,
+                                drive_spec.accel_rms, drive_spec.box_size)
+
+            def derived(s):
+                out = derived_with(s, wd, cfg, domain, spec, tile_block,
+                                   use_pallas)
+                a = drv_mod.acceleration(s.pos, dr, modes,
+                                         drive_spec.box_size)
+                return out._replace(acc=out.acc + a)
+        else:
+            derived = lambda s: derived_with(s, wd, cfg, domain, spec,
+                                             tile_block, use_pallas)
+        st, dt = leapfrog.step(st, cfg, domain, derived, dt=dt, wrap=False)
+        return (st, wd, dr), dt
+
+    def outer(carry, _):
+        st, dr = carry
+        st = st._replace(pos=domain.wrap(st.pos))
+        wd = win.build(st.pos, domain, spec)
+        (st, _, dr), dts = jax.lax.scan(inner, (st, wd, dr), None,
+                                        length=rebuild_every)
+        return (st, dr), dts
+
+    if drive is None:
+        from sphax.physics.driving import DriveState
+        drive = DriveState(jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+                           jax.random.PRNGKey(0))
+    (state, drive), dts = jax.lax.scan(outer, (state, drive), None,
+                                       length=nsteps // rebuild_every)
+    return state._replace(pos=domain.wrap(state.pos)), drive, dts.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("spec",))

@@ -1,0 +1,117 @@
+"""Named problem registry: ICs + config + engine wiring (SURVEY.md L5/L7).
+
+Each entry builds the five BASELINE.json configs end-to-end; used by the CLI
+(``python -m sphax <problem>``) and by integration tests. The engine is
+chosen per problem: the Pallas sorted-window engine where the geometry
+supports it, dense otherwise (small N / thin boxes / self-gravity).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sphax
+from sphax import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.physics import dense, driving, wengine
+from sphax.neighbors import window as win
+from sphax.run import DriveSpec
+
+
+class Problem(NamedTuple):
+    name: str
+    state: ParticleState
+    cfg: SPHConfig
+    domain: Domain
+    engine: Callable            # state -> state (fresh derived fields)
+    t_end: float
+    drive: Optional[object] = None
+    drive_spec: Optional[DriveSpec] = None
+    wspec: Optional[object] = None   # WindowSpec when the window engine is used
+
+
+def _f(ic, k, dtype):
+    return jnp.asarray(ic[k], dtype)
+
+
+def _window_engine(st, cfg, dom, h_margin=1.3, cutoff_scale=1.25):
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * h_margin,
+                             dim=cfg.dim, cutoff_scale=cutoff_scale)
+    use_pallas = jax.default_backend() != "cpu"
+    eng = lambda s: wengine.update_derived(s, cfg, dom, spec,
+                                           use_pallas=use_pallas)
+    return eng, spec
+
+
+def sod(n: int = 32, dtype=jnp.float32, **kw) -> Problem:
+    from sphax.ics import sod as ics
+    ic = ics.build(nx_left=int(n), n_trans=max(4, int(n) // 4))
+    cfg = SPHConfig(dim=3, gamma=1.4, adaptive_h=True, newton_iters=6)
+    dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
+    st = sphax.make_state(*(_f(ic, k, dtype) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    eng = lambda s: dense.update_derived(s, cfg, dom)  # thin box: dense
+    return Problem("sod", eng(st), cfg, dom, eng, t_end=0.1)
+
+
+def sedov(n: int = 20, dtype=jnp.float32, **kw) -> Problem:
+    from sphax.ics import sedov as ics
+    ic = ics.build(n_side=int(n))
+    cfg = sphax.configs.SEDOV
+    dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
+    st = sphax.make_state(*(_f(ic, k, dtype) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    if int(n) >= 24:
+        eng, spec = _window_engine(st, cfg, dom, h_margin=2.0)
+    else:
+        eng, spec = (lambda s: dense.update_derived(s, cfg, dom)), None
+    return Problem("sedov", eng(st), cfg, dom, eng, t_end=0.06, wspec=spec)
+
+
+def kh(n: int = 64, dtype=jnp.float32, **kw) -> Problem:
+    from sphax.ics import kh as ics
+    ic = ics.build(nx=int(n))
+    cfg = sphax.configs.KH
+    dom = sphax.box(jnp.zeros(2, dtype), _f(ic, "box", dtype))
+    st = sphax.make_state(*(_f(ic, k, dtype) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    eng = lambda s: dense.update_derived(s, cfg, dom)
+    return Problem("kh", eng(st), cfg, dom, eng, t_end=1.0)
+
+
+def evrard(n: int = 4096, dtype=jnp.float32, **kw) -> Problem:
+    from sphax.ics import evrard as ics
+    ic = ics.build(n=int(n))
+    cfg = sphax.configs.EVRARD
+    dom = sphax.Domain(lo=_f(ic, "lo", dtype), hi=_f(ic, "hi", dtype),
+                       periodic=False)
+    st = sphax.make_state(*(_f(ic, k, dtype) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    eng = lambda s: dense.update_derived(s, cfg, dom)  # gravity: direct sum
+    return Problem("evrard", eng(st), cfg, dom, eng, t_end=0.8)
+
+
+def turb(n: int = 48, accel_rms: float = 3.0, tau: float = 0.5, seed: int = 1,
+         dtype=jnp.float32, **kw) -> Problem:
+    from sphax.ics import turbulence as ics
+    ic = ics.build(n_side=int(n))
+    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
+    dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
+    st = sphax.make_state(*(_f(ic, k, dtype) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    eng, spec = _window_engine(st, cfg, dom)
+    modes = tuple(map(tuple, driving.make_modes(1, 2).astype(int)))
+    dspec = DriveSpec(modes=modes, tau=float(tau),
+                      accel_rms=float(accel_rms))
+    drv = driving.DriveState(jnp.zeros((len(modes), 3), dtype),
+                             jnp.zeros((len(modes), 3), dtype),
+                             jax.random.PRNGKey(int(seed)))
+    return Problem("turb", eng(st), cfg, dom, eng, t_end=2.0, drive=drv,
+                   drive_spec=dspec, wspec=spec)
+
+
+REGISTRY = dict(sod=sod, sedov=sedov, kh=kh, evrard=evrard, turb=turb)

@@ -1,0 +1,82 @@
+"""Checkpoint/resume, fault detection, metrics, CLI (SURVEY.md §5, §4.2)."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sphax
+from sphax.io import checkpoint, metrics
+from sphax.physics import driving
+
+
+def _tiny_state(n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return sphax.make_state(
+        jnp.asarray(rng.random((n, 3))), jnp.asarray(rng.random((n, 3))),
+        jnp.asarray(rng.random(n)), jnp.asarray(rng.random(n)),
+        jnp.asarray(0.1 + rng.random(n)))
+
+
+def test_checkpoint_roundtrip_bitwise(tmp_path):
+    st = _tiny_state()
+    drv = driving.DriveState(jnp.ones((5, 3)), 2 * jnp.ones((5, 3)),
+                             jax.random.PRNGKey(7))
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save(p, st, t=1.25, step=42, drive=drv, extra={"note": "x"})
+    st2, t, step, drv2, extra = checkpoint.load(p)
+    assert t == 1.25 and step == 42 and extra["note"] == "x"
+    for f in st._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(st, f)),
+                                      np.asarray(getattr(st2, f)))
+    np.testing.assert_array_equal(np.asarray(drv.key), np.asarray(drv2.key))
+
+
+def test_checkpoint_no_drive(tmp_path):
+    st = _tiny_state()
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save(p, st, t=0.0, step=0)
+    _, _, _, drv, _ = checkpoint.load(p)
+    assert drv is None
+
+
+def test_fault_injection_detected(tmp_path):
+    """Corrupt state -> detector names the problem (SURVEY.md §5 fault inj)."""
+    st = _tiny_state()
+    assert checkpoint.verify_integrity(st) is None
+    bad = st._replace(rho=st.rho.at[3].set(jnp.nan))
+    assert "non-finite" in checkpoint.verify_integrity(bad)
+    bad = st._replace(h=st.h.at[0].set(-1.0))
+    assert "smoothing length" in checkpoint.verify_integrity(bad)
+
+
+def test_metrics_jsonl(tmp_path):
+    st = _tiny_state()
+    cfg = sphax.SPHConfig()
+    p = str(tmp_path / "m.jsonl")
+    log = metrics.MetricsLogger(p)
+    log.log(st, cfg, t=0.5, step=10)
+    log.log(st, cfg, t=0.6, step=20, custom=3)
+    lines = [json.loads(line) for line in open(p)]
+    assert len(lines) == 2
+    assert lines[0]["t"] == 0.5 and lines[1]["custom"] == 3
+    assert lines[1]["particle_steps_per_sec"] > 0
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m sphax sod ... runs, writes metrics + checkpoint, resumes."""
+    from sphax.__main__ import main
+
+    out = str(tmp_path / "run")
+    main(["sod", "n=8", "t_end=0.02", f"out={out}", "chunk=4",
+          "checkpoint_every=1"])
+    assert os.path.exists(f"{out}/checkpoint.npz")
+    recs = [json.loads(line) for line in open(f"{out}/metrics.jsonl")]
+    assert recs and recs[-1]["finite"]
+
+    # resume continues from the checkpoint
+    main(["sod", "n=8", "t_end=0.03", f"out={out}",
+          f"resume={out}/checkpoint.npz", "chunk=4"])
+    st, t, step, _, _ = checkpoint.load(f"{out}/checkpoint.npz")
+    assert t >= 0.03 and step > 0
