@@ -27,9 +27,9 @@ def main():
     from sphax.neighbors import window as win
     from sphax.physics import wengine
 
-    n_side = 64   # N = 262,144
-    steps = 32
-    rebuild_every = 2
+    n_side = 100  # N = 1,000,000
+    steps = 16
+    rebuild_every = 4
 
     ic = turbulence.build(n_side=n_side)
     # production setting: h warm-starts from the previous step, 2 Newton
@@ -42,8 +42,8 @@ def main():
     # dynamically representative: seeded velocity field
     st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
                                                  st.vel.shape, jnp.float32))
-    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.3,
-                             dim=3, cutoff_scale=1.25)
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.15,
+                             dim=3, cutoff_scale=1.2)
     st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
 
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
