@@ -52,10 +52,15 @@ def main():
     st2, _, dts = run(st)       # compile + warm
     jax.block_until_ready(st2.pos)
 
-    t0 = time.time()
-    st2, _, dts = run(st2)
-    jax.block_until_ready(st2.pos)
-    wall = time.time() - t0
+    # median of 3 timed reps; guard against async-timing anomalies
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        st2, _, dts = run(st2)
+        jax.block_until_ready(st2.pos)
+        walls.append(time.time() - t0)
+    walls = [w for w in sorted(walls) if w > 0.05] or sorted(walls)
+    wall = walls[len(walls) // 2]
 
     assert bool(jnp.isfinite(st2.rho).all()), "non-finite state in bench"
     assert bool(jnp.all(dts > 0)), "non-positive dt in bench"

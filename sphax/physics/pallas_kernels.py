@@ -47,21 +47,26 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S):
-    """Copy all candidate segments of all window fields into VMEM scratch.
+def _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S):
+    """Copy each candidate segment of the PACKED window array into VMEM.
 
-    wbuf: [n_fields, n_seg, 1, S]; one DMA per (field, segment).
+    win_ref: [F_pad, 1, Ns] (all fields packed so a segment is ONE strided
+    DMA instead of one per field — serial per-field DMAs dominated the step
+    at large N); wbuf: [n_seg, F_pad, 1, S]. All segment DMAs start before
+    any wait, overlapping their latencies.
     """
-    for f, ref in enumerate(win_refs):
-        for s in range(n_seg):
-            base = pl.multiple_of(wl_ref[i * n_seg + s], 128)
-            cp = pltpu.make_async_copy(
-                ref.at[:, pl.ds(base, S)],
-                wbuf.at[f, s],
-                sem,
-            )
-            cp.start()
-            cp.wait()
+    copies = []
+    for s in range(n_seg):
+        base = pl.multiple_of(wl_ref[i * n_seg + s], 128)
+        cp = pltpu.make_async_copy(
+            win_ref.at[:, :, pl.ds(base, S)],
+            wbuf.at[s],
+            sems.at[s],
+        )
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
 
 
 def _seg_keep(wl_ref, i, s, S, dtype, n_seg):
@@ -129,22 +134,27 @@ def _col(ref, T):
 def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
           extra_scratch=()):
     T, S, n_seg, nt, Ns = _prep(spec)
+    # pack window fields: [F_pad, 1, Ns] (F_pad multiple of 8 for the DMA
+    # slice tiling); one strided DMA then ships a whole segment of all fields
+    Fp = -(-len(win) // 8) * 8
+    packed = jnp.zeros((Fp, 1, Ns), dtype)
+    packed = packed.at[:len(win), 0, :].set(jnp.stack(win))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[_own_spec(T)] * len(own)
-        + [pl.BlockSpec(memory_space=pl.ANY)] * len(win),
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[_own_spec(T)] * n_out,
-        scratch_shapes=[pltpu.VMEM((len(win), n_seg, 1, S), dtype),
-                        pltpu.SemaphoreType.DMA] + list(extra_scratch),
+        scratch_shapes=[pltpu.VMEM((n_seg, Fp, 1, S), dtype),
+                        pltpu.SemaphoreType.DMA((n_seg,))]
+        + list(extra_scratch),
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, Ns), dtype)] * n_out,
         interpret=_interpret(),
-    )(wd.w_lo.reshape(-1), *[_row(a) for a in own],
-      *[_row(a) for a in win])
+    )(wd.w_lo.reshape(-1), *[_row(a) for a in own], packed)
     return [o.reshape(Ns) for o in outs]
 
 
@@ -166,13 +176,13 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     hcap = 0.5 * float(spec.cutoff)
 
     def kernel(wl_ref, *refs):
-        n_own, n_win = dim + 2, dim + 1
+        n_own = dim + 2
         own_refs = refs[:n_own]
-        win_refs = refs[n_own:n_own + n_win]
-        h_out, rho_out, drdh_out = refs[n_own + n_win:n_own + n_win + 3]
-        wbuf, sem, rbuf = refs[-3:]
+        win_ref = refs[n_own]
+        h_out, rho_out, drdh_out = refs[n_own + 1:n_own + 4]
+        wbuf, sems, rbuf = refs[-3:]
         i = pl.program_id(0)
-        _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S)
+        _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
 
         xi = [_col(own_refs[d], T) for d in range(dim)]
         m_i = _col(own_refs[dim], T)
@@ -182,17 +192,17 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
         for s in range(n_seg):
             r2 = jnp.zeros((T, S), dtype)
             for d in range(dim):
-                dxd = xi[d] - wbuf[d, s]
+                dxd = xi[d] - wbuf[s, d]
                 r2 = r2 + dxd * dxd
             rbuf[s] = jnp.sqrt(r2)
-            wbuf[dim, s] = wbuf[dim, s] * _seg_keep(wl_ref, i, s, S, dtype, n_seg)
+            wbuf[s, dim] = wbuf[s, dim] * _seg_keep(wl_ref, i, s, S, dtype, n_seg)
 
         def sums(h):
             rho = jnp.zeros((T, 1), dtype)
             drdh = jnp.zeros((T, 1), dtype)
             for s in range(n_seg):
                 r = rbuf[s]
-                m_j = wbuf[dim, s]
+                m_j = wbuf[s, dim]
                 q = r / h
                 w = _cubic_w(q, h, dim)
                 dwdh = _cubic_dwdh(q, h, w, dim)
@@ -241,13 +251,12 @@ def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
 
     def kernel(wl_ref, *refs):
         n_own = 2 * dim + 1
-        n_win = 2 * dim + 1
         own_refs = refs[:n_own]
-        win_refs = refs[n_own:n_own + n_win]
-        div_out, curl_out = refs[n_own + n_win:n_own + n_win + 2]
-        wbuf, sem = refs[-2:]
+        win_ref = refs[n_own]
+        div_out, curl_out = refs[n_own + 1:n_own + 3]
+        wbuf, sems = refs[-2:]
         i = pl.program_id(0)
-        _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S)
+        _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
 
         xi = [_col(own_refs[d], T) for d in range(dim)]
         vi = [_col(own_refs[dim + d], T) for d in range(dim)]
@@ -257,9 +266,9 @@ def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
         curl = [jnp.zeros((T, 1), dtype) for _ in range(3)]
         for s in range(n_seg):
             keep = _seg_keep(wl_ref, i, s, S, dtype, n_seg)
-            xj = [wbuf[d, s] for d in range(dim)]
-            vj = [wbuf[dim + d, s] for d in range(dim)]
-            m_j = wbuf[2 * dim, s] * keep
+            xj = [wbuf[s, d] for d in range(dim)]
+            vj = [wbuf[s, dim + d] for d in range(dim)]
+            m_j = wbuf[s, 2 * dim] * keep
             dx = [xi[d] - xj[d] for d in range(dim)]
             dv = [vi[d] - vj[d] for d in range(dim)]
             r2 = sum(d_ * d_ for d_ in dx)
@@ -313,13 +322,12 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
 
     def kernel(wl_ref, *refs):
         n_own = 2 * dim + n_scal
-        n_win = 2 * dim + n_scal + 1  # + mass
         own_refs = refs[:n_own]
-        win_refs = refs[n_own:n_own + n_win]
-        out_refs = refs[n_own + n_win:n_own + n_win + dim + 1]
-        wbuf, sem = refs[-2:]
+        win_ref = refs[n_own]
+        out_refs = refs[n_own + 1:n_own + 2 + dim]
+        wbuf, sems = refs[-2:]
         i = pl.program_id(0)
-        _dma_windows(wl_ref, win_refs, wbuf, sem, i, n_seg, S)
+        _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
 
         o = iter(range(n_own))
         xi = [_col(own_refs[next(o)], T) for _ in range(dim)]
@@ -337,16 +345,16 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
         du = jnp.zeros((T, 1), dtype)
         for s in range(n_seg):
             keep = _seg_keep(wl_ref, i, s, S, dtype, n_seg)
-            w = iter(range(n_win))
-            xj = [wbuf[next(w), s] for _ in range(dim)]
-            vj = [wbuf[next(w), s] for _ in range(dim)]
-            m_j = wbuf[next(w), s] * keep
-            h_j = wbuf[next(w), s]
-            rho_j = wbuf[next(w), s]
-            P_j = wbuf[next(w), s]
-            cs_j = wbuf[next(w), s]
-            om_j = wbuf[next(w), s]
-            bf_j = wbuf[next(w), s] if use_bf else None
+            w = iter(range(2 * dim + n_scal + 1))
+            xj = [wbuf[s, next(w)] for _ in range(dim)]
+            vj = [wbuf[s, next(w)] for _ in range(dim)]
+            m_j = wbuf[s, next(w)] * keep
+            h_j = wbuf[s, next(w)]
+            rho_j = wbuf[s, next(w)]
+            P_j = wbuf[s, next(w)]
+            cs_j = wbuf[s, next(w)]
+            om_j = wbuf[s, next(w)]
+            bf_j = wbuf[s, next(w)] if use_bf else None
 
             dx = [xi[d] - xj[d] for d in range(dim)]
             dv = [vi[d] - vj[d] for d in range(dim)]
