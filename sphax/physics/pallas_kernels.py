@@ -57,7 +57,7 @@ def _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S):
     """
     copies = []
     for s in range(n_seg):
-        base = pl.multiple_of(wl_ref[i * n_seg + s], 128)
+        base = pl.multiple_of(wl_ref[i % 8, s], 128)
         cp = pltpu.make_async_copy(
             win_ref.at[:, :, pl.ds(base, S)],
             wbuf.at[s],
@@ -76,11 +76,11 @@ def _seg_keep(wl_ref, i, s, S, dtype, n_seg):
     get lane-padded to 128 ints per row, which blows the 1 MB SMEM budget at
     large N; 1D stays compact.
     """
-    base = wl_ref[i * n_seg + s]
+    base = wl_ref[i % 8, s]
     k = base + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     dup = jnp.zeros((1, S), jnp.bool_)
     for sp in range(s):
-        b = wl_ref[i * n_seg + sp]
+        b = wl_ref[i % 8, sp]
         dup |= (k >= b) & (k < b + S)
     return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
 
@@ -122,8 +122,18 @@ def _row(x):
 
 
 def _own_spec(T):
-    return pl.BlockSpec((1, T), lambda i, wl: (0, i),
-                        memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _wl_spec(n_seg):
+    """Per-program SMEM block of the window-start table.
+
+    Scalar-prefetching the WHOLE [n_tiles * n_seg] table hits the 1 MB SMEM
+    ceiling at N ≳ 3e6; an (8, n_seg) SMEM block per 8 grid steps stays
+    O(1). (Sublane block size must divide 8; the kernel picks row i % 8.)
+    """
+    return pl.BlockSpec((8, n_seg), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM)
 
 
 def _col(ref, T):
@@ -140,9 +150,9 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
     packed = jnp.zeros((Fp, 1, Ns), dtype)
     packed = packed.at[:len(win), 0, :].set(jnp.stack(win))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(nt,),
-        in_specs=[_own_spec(T)] * len(own)
+        in_specs=[_wl_spec(n_seg)] + [_own_spec(T)] * len(own)
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[_own_spec(T)] * n_out,
         scratch_shapes=[pltpu.VMEM((n_seg, Fp, 1, S), dtype),
@@ -154,7 +164,8 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, Ns), dtype)] * n_out,
         interpret=_interpret(),
-    )(wd.w_lo.reshape(-1), *[_row(a) for a in own], packed)
+    )(jnp.pad(wd.w_lo, ((0, (-nt) % 8), (0, 0))),
+      *[_row(a) for a in own], packed)
     return [o.reshape(Ns) for o in outs]
 
 
@@ -164,9 +175,15 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
 
 
 def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
-                    cfg: SPHConfig):
-    """Returns (h, rho, drho_dh) per sorted row; windows DMA'd once and
-    reused by every Newton iteration (same iteration as dense/clist/wengine).
+                    cfg: SPHConfig, vel_s=None, u_s=None):
+    """Returns (h, rho, drho_dh[, div_sum, curl_sum]) per sorted row.
+
+    Windows are DMA'd once and reused by every Newton iteration (same
+    iteration as dense/clist/wengine). When cfg.balsara and vel/u are given,
+    the Balsara div/curl estimator sums are FUSED into the same program —
+    the candidate windows are already resident in VMEM, and cs_i needs only
+    the particle's own u (gamma-law: cs = sqrt(gamma (gamma-1) u)), so the
+    former standalone kernel B's DMA pass disappears.
     """
     T, S, n_seg, nt, Ns = _prep(spec)
     dim = cfg.dim
@@ -174,12 +191,13 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     iters = cfg.newton_iters if cfg.adaptive_h else 0
     eta_d = float(cfg.eta) ** dim
     hcap = 0.5 * float(spec.cutoff)
+    fuse_bals = bool(cfg.balsara) and vel_s is not None
 
     def kernel(wl_ref, *refs):
-        n_own = dim + 2
+        n_own = dim + 2 + (dim if fuse_bals else 0)
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
-        h_out, rho_out, drdh_out = refs[n_own + 1:n_own + 4]
+        out_refs = refs[n_own + 1:n_own + 1 + (5 if fuse_bals else 3)]
         wbuf, sems, rbuf = refs[-3:]
         i = pl.program_id(0)
         _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
@@ -225,16 +243,53 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
 
         h = jax.lax.fori_loop(0, iters, newton, h_i) if iters else h_i
         rho, drdh = sums(h)
-        h_out[:, :] = h.reshape(1, T)
-        rho_out[:, :] = rho.reshape(1, T)
-        drdh_out[:, :] = drdh.reshape(1, T)
+        out_refs[0][:, :] = h.reshape(1, T)
+        out_refs[1][:, :] = rho.reshape(1, T)
+        out_refs[2][:, :] = drdh.reshape(1, T)
+
+        if fuse_bals:
+            vi = [_col(own_refs[dim + 2 + d], T) for d in range(dim)]
+            divv = jnp.zeros((T, 1), dtype)
+            curl = [jnp.zeros((T, 1), dtype) for _ in range(3)]
+            for s in range(n_seg):
+                m_j = wbuf[s, dim]  # already dedup'd
+                xj = [wbuf[s, d] for d in range(dim)]
+                vj = [wbuf[s, dim + 1 + d] for d in range(dim)]
+                dx = [xi[d] - xj[d] for d in range(dim)]
+                dv = [vi[d] - vj[d] for d in range(dim)]
+                r = rbuf[s]
+                g = _cubic_g(r / h, r, h, dim)
+                mw = m_j * g
+                vdotr = sum(dv[d] * dx[d] for d in range(dim))
+                divv = divv + jnp.sum(mw * vdotr, axis=1, keepdims=True)
+                if dim == 3:
+                    curl[0] += jnp.sum(mw * (dv[1] * dx[2] - dv[2] * dx[1]),
+                                       axis=1, keepdims=True)
+                    curl[1] += jnp.sum(mw * (dv[2] * dx[0] - dv[0] * dx[2]),
+                                       axis=1, keepdims=True)
+                    curl[2] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
+                                       axis=1, keepdims=True)
+                elif dim == 2:
+                    curl[0] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
+                                       axis=1, keepdims=True)
+            out_refs[3][:, :] = divv.reshape(1, T)
+            if dim == 3:
+                cm = jnp.sqrt(curl[0] ** 2 + curl[1] ** 2 + curl[2] ** 2)
+            elif dim == 2:
+                cm = jnp.abs(curl[0])
+            else:
+                cm = jnp.zeros((T, 1), dtype)
+            out_refs[4][:, :] = cm.reshape(1, T)
 
     own = [pos_s[:, d] for d in range(dim)] + [mass_s, h0_s]
     win = [pos_s[:, d] for d in range(dim)] + [mass_s]
+    if fuse_bals:
+        own += [vel_s[:, d] for d in range(dim)]
+        win += [vel_s[:, d] for d in range(dim)]
     rscratch = pltpu.VMEM((n_seg, T, S), dtype)
-    h, rho, drdh = _call(kernel, spec, wd, own, win, 3, dtype,
-                         extra_scratch=[rscratch])
-    return h, rho, drdh
+    outs = _call(kernel, spec, wd, own, win, 5 if fuse_bals else 3, dtype,
+                 extra_scratch=[rscratch])
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------

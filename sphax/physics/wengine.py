@@ -224,8 +224,13 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
     if use_pallas:
         from sphax.physics import pallas_kernels as pk
 
-        h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s, mass_s,
-                                                 h_s, cfg)
+        if cfg.balsara:
+            (h_s, rho_s, drho_dh, div_sum,
+             curl_sum) = pk.solve_h_density(wd, spec, pos_s, mass_s, h_s,
+                                            cfg, vel_s=vel_s, u_s=u_s)
+        else:
+            h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s,
+                                                     mass_s, h_s, cfg)
         h_s = win.mirror_owner(h_s, wd)
     else:
         if cfg.adaptive_h:
@@ -243,8 +248,7 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
     P_s, cs_s = eos(rho_s, u_s, cfg)
     if cfg.balsara:
         if use_pallas:
-            div_sum, curl_sum = pk.balsara(wd, spec, pos_s, vel_s, mass_s,
-                                           h_s, cfg)
+            # div/curl sums came fused out of kernel A (windows reused)
             rho_safe = jnp.maximum(rho_s, 1e-15)
             bf_s = pairs.balsara_factor(-div_sum / rho_safe,
                                         curl_sum / rho_safe, cs_s, h_s)
