@@ -1,0 +1,70 @@
+"""Throughput sweep over N for the production engine (SURVEY.md §4.2.6).
+
+Writes one JSON line per size to stdout and benchmarks/sweep_results.jsonl;
+compare runs across commits to catch perf regressions vs BASELINE.md.
+
+    python benchmarks/sweep.py            # default sizes
+    python benchmarks/sweep.py 32 64 100  # custom n_side list
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 4) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import sphax
+    from sphax.ics import turbulence
+    from sphax.neighbors import window as win
+    from sphax.physics import wengine
+
+    ic = turbulence.build(n_side=n_side)
+    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
+    st = sphax.make_state(*(f32(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
+                                                 st.vel.shape, jnp.float32))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.15,
+                             dim=3, cutoff_scale=1.2)
+    st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
+    run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
+                                     rebuild_every=rebuild_every,
+                                     use_pallas=True)
+    s2, _, _ = run(st)
+    jax.block_until_ready(s2.pos)
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        s2, _, _ = run(s2)
+        jax.block_until_ready(s2.pos)
+        walls.append(time.time() - t0)
+    wall = min(w for w in walls if w > 0.05) if any(
+        w > 0.05 for w in walls) else min(walls)
+    assert bool(jnp.isfinite(s2.rho).all())
+    return dict(n=st.n, n_side=n_side, wseg=spec.wseg,
+                particle_steps_per_sec=round(st.n * steps / wall, 1),
+                wall_s=round(wall, 3), steps=steps,
+                device=str(jax.devices()[0]))
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [32, 48, 64, 100]
+    out = os.path.join(os.path.dirname(__file__), "sweep_results.jsonl")
+    with open(out, "a") as f:
+        for n_side in sizes:
+            rec = bench_one(n_side)
+            line = json.dumps(rec)
+            print(line, flush=True)
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,7 @@ def main(argv=None):
     checkpoint_every = int(kv.pop("checkpoint_every", 8))
     resume = kv.pop("resume", None)
     profile = kv.pop("profile", 0)
+    plot = kv.pop("plot", 0)
 
     from sphax.diag import conservation
     from sphax.io import checkpoint, metrics
@@ -108,6 +109,20 @@ def main(argv=None):
 
     checkpoint.save(os.path.join(out, "checkpoint.npz"), state, t, step,
                     prob.drive and drive)
+    if plot:
+        from sphax.diag import plots
+        if name == "sod":
+            plots.sod_profile(state, t, os.path.join(out, "profile.png"),
+                              gamma=prob.cfg.gamma)
+        elif name == "sedov":
+            plots.sedov_profile(state, t, os.path.join(out, "profile.png"),
+                                gamma=prob.cfg.gamma)
+        else:
+            plots.slice_2d(state, os.path.join(out, "slice.png"),
+                           title=f"{name} t={t:.3f}")
+        plots.metrics_history(os.path.join(out, "metrics.jsonl"),
+                              os.path.join(out, "history.png"))
+        print(f"plots written to {out}/")
     rec = log.log(state, prob.cfg, t, step)
     print(f"done: t={t:.4f} steps={step}; final E={rec['e_total']:.6f}; "
           f"checkpoint + metrics in {out}/")

@@ -80,3 +80,16 @@ def test_cli_end_to_end(tmp_path):
           f"resume={out}/checkpoint.npz", "chunk=4"])
     st, t, step, _, _ = checkpoint.load(f"{out}/checkpoint.npz")
     assert t >= 0.03 and step > 0
+
+
+def test_plots_render(tmp_path):
+    """Diagnostic plots render to PNG without a display (SURVEY C14)."""
+    from sphax.diag import plots
+
+    st = _tiny_state(n=64)
+    st = st._replace(rho=jnp.ones(64), P=jnp.ones(64), cs=jnp.ones(64))
+    p1 = plots.sod_profile(st, 0.1, str(tmp_path / "sod.png"))
+    p2 = plots.sedov_profile(st, 0.05, str(tmp_path / "sedov.png"))
+    p3 = plots.slice_2d(st, str(tmp_path / "slice.png"))
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000
