@@ -452,3 +452,75 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     outs = _call(kernel, spec, wd, own, win, dim + 1, dtype)
     acc = jnp.stack(outs[:dim], axis=-1)
     return acc, outs[dim]
+
+
+# ---------------------------------------------------------------------------
+# kernel G: direct-sum softened gravity (BASELINE.json:10 — long-range,
+# all-pairs; used by the Evrard config. O(N^2): each program owns T rows and
+# streams the full particle set through VMEM in column chunks.)
+# ---------------------------------------------------------------------------
+
+
+def gravity(pos, mass, cfg: SPHConfig, chunk: int = 1024):
+    """acc[N, D] = -G sum_j m_j (r^2 + eps^2)^{-3/2} dx, Plummer-softened.
+
+    Self-pairs contribute exactly zero (dx = 0). Inputs are packed
+    [8, 1, Np] (x, y, z, m, zero-pad fields; Np padded to ``chunk``) so each
+    column chunk is one strided DMA.
+    """
+    n, dim = pos.shape
+    dtype = pos.dtype
+    T = 128
+    npad = -(-n // chunk) * chunk
+    npad = max(npad, T)
+    npad = -(-npad // T) * T
+    nt = npad // T
+    nchunks = npad // chunk
+    geps2 = float(cfg.grav_eps) ** 2
+
+    fields = [pos[:, d] for d in range(dim)] + [mass]
+    packed = jnp.zeros((8, 1, npad), dtype)
+    for k, f in enumerate(fields):
+        packed = packed.at[k, 0, :n].set(f)
+
+    def kernel(*refs):
+        own_refs = refs[:dim]
+        src_ref = refs[dim]
+        out_refs = refs[dim + 1:dim + 1 + dim]
+        cbuf, sem = refs[-2:]
+
+        xi = [_col(own_refs[d], T) for d in range(dim)]
+        acc = [jnp.zeros((T, 1), dtype) for _ in range(dim)]
+
+        def body(c, acc):
+            cp = pltpu.make_async_copy(
+                src_ref.at[:, :, pl.ds(c * chunk, chunk)], cbuf, sem)
+            cp.start()
+            cp.wait()
+            dx = [xi[d] - cbuf[d] for d in range(dim)]
+            r2 = sum(d_ * d_ for d_ in dx) + geps2
+            m_j = cbuf[dim]
+            inv = m_j * jax.lax.rsqrt(r2) / r2
+            return [acc[d] - jnp.sum(inv * dx[d], axis=1, keepdims=True)
+                    for d in range(dim)]
+
+        acc = jax.lax.fori_loop(0, nchunks, body, acc)
+        for d in range(dim):
+            out_refs[d][:, :] = (float(cfg.G) * acc[d]).reshape(1, T)
+
+    own = [jnp.pad(f, (0, npad - n)) for f in fields[:dim]]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nt,),
+        in_specs=[_own_spec(T)] * dim + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[_own_spec(T)] * dim,
+        scratch_shapes=[pltpu.VMEM((8, 1, chunk), dtype),
+                        pltpu.SemaphoreType.DMA],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, npad), dtype)] * dim,
+        interpret=_interpret(),
+    )(*[_row(a) for a in own], packed)
+    return jnp.stack([o.reshape(npad)[:n] for o in outs], axis=-1)

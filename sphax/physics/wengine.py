@@ -266,8 +266,11 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
                                  P_s, cs_s, om_s, bf_s, cfg, tile_block)
 
     if cfg.gravity:
-        from sphax.physics.clist import gravity_dense
-        acc_g = gravity_dense(state.pos, state.mass, cfg, domain)
+        if use_pallas:
+            acc_g = pk.gravity(state.pos, state.mass, cfg)
+        else:
+            from sphax.physics.clist import gravity_dense
+            acc_g = gravity_dense(state.pos, state.mass, cfg, domain)
     else:
         acc_g = None
 

@@ -116,3 +116,20 @@ def test_pallas_kernels_agree(name):
     uscale = float(jnp.max(jnp.abs(a.du_dt))) + 1e-30
     np.testing.assert_allclose(np.asarray(b.du_dt), np.asarray(a.du_dt),
                                rtol=rtol, atol=rtol * uscale)
+
+
+def test_pallas_gravity_matches_dense():
+    """Pallas direct-sum gravity == reference gravity (BASELINE.json:10)."""
+    import sphax.reference_cpu as ref
+    from sphax.physics import pallas_kernels as pk
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pos = rng.standard_normal((n, 3)) * 0.3
+    mass = rng.random(n) + 0.1
+    cfg = SPHConfig(dim=3, gravity=True, G=1.7, grav_eps=0.05)
+    a_ref = ref.gravity(pos, mass, cfg)  # open box: no min-image
+    a_pk = pk.gravity(jnp.asarray(pos), jnp.asarray(mass), cfg)
+    scale = np.abs(a_ref).max()
+    np.testing.assert_allclose(np.asarray(a_pk), a_ref, rtol=1e-9,
+                               atol=1e-9 * scale)
