@@ -144,6 +144,14 @@ def _col(ref, T):
 def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
           extra_scratch=()):
     T, S, n_seg, nt, Ns = _prep(spec)
+    # VMEM guard: kernel A keeps ~n_seg*(T+16)*S floats of scratch resident;
+    # past S~2048 the 16 MB scoped-VMEM budget blows. (Interpret mode on CPU
+    # has no such limit — the jnp fallback covers coarse-grid cases there.)
+    if S > 2048 and not _interpret():
+        raise ValueError(
+            f"window segments of {S} rows exceed the Pallas VMEM budget; "
+            "the grid is too coarse for the window engine at this N — use "
+            "the dense or cell-list engine (or a smaller cutoff)")
     # pack window fields: [F_pad, 1, Ns] (F_pad multiple of 8 for the DMA
     # slice tiling); one strided DMA then ships a whole segment of all fields
     Fp = -(-len(win) // 8) * 8

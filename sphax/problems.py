@@ -65,8 +65,10 @@ def sedov(n: int = 20, dtype=jnp.float32, **kw) -> Problem:
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
-    if int(n) >= 24:
-        eng, spec = _window_engine(st, cfg, dom, h_margin=2.0)
+    if int(n) >= 32:
+        # blast centre evacuates -> h grows ~1.6x; margin 1.5 covers it while
+        # keeping the window grid fine enough for the Pallas VMEM budget
+        eng, spec = _window_engine(st, cfg, dom, h_margin=1.5)
     else:
         eng, spec = (lambda s: dense.update_derived(s, cfg, dom)), None
     return Problem("sedov", eng(st), cfg, dom, eng, t_end=0.06, wspec=spec)
