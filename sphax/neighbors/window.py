@@ -47,7 +47,11 @@ class WindowSpec:
 
     res: Tuple[int, ...]          # interior cells per axis (cell >= cutoff)
     cutoff: float                 # neighbor search radius (>= 2 h_max)
-    ghost_caps: Tuple[int, ...]   # capacity per periodic image offset
+    ghost_caps: Tuple[int, ...]   # capacity per axis PASS (one per axis; the
+    #                               pass appends images at BOTH faces, so a
+    #                               pass adds up to 2*cap rows; sequential
+    #                               passes compound, covering edges/corners
+    #                               as ghosts-of-ghosts)
     tile: int                     # rows per tile (T)
     wseg: int                     # static width of each pencil segment
     n_sorted: int                 # padded sorted-array length
@@ -98,17 +102,20 @@ def plan_windows(domain: Domain, h_max: float, n: int, dim: int,
             f"box too small for window engine at cutoff {cutoff:.4g} "
             f"(res={tuple(res)}); use the dense or cell-list engine")
     per = domain.periodic_axes(dim)
+    # one ghost pass per periodic axis; each pass images BOTH faces of the
+    # accumulated array, so edge/corner images arise as ghosts-of-ghosts and
+    # the per-face capacity must budget for earlier passes' ghosts
     caps = []
-    for off in _image_offsets(dim):
-        if any(off[d] != 0 and not per[d] for d in range(dim)):
+    n_acc = float(n)
+    for d in range(dim):
+        if not per[d]:
             caps.append(0)
             continue
-        frac = 1.0
-        for d in range(dim):
-            if off[d] != 0:
-                frac *= min(1.0, cutoff / ext[d])
-        caps.append(max(int(np.ceil(n * frac * ghost_safety / 8.0) * 8), 8))
-    n_ghost = sum(caps)
+        frac = min(1.0, cutoff / ext[d])
+        cap = max(int(np.ceil(n_acc * frac * ghost_safety / 8.0) * 8), 8)
+        caps.append(cap)
+        n_acc += 2.0 * cap
+    n_ghost = 2 * sum(caps)
     n_raw = n + n_ghost
     if wseg <= 0:
         # a tile's fast-axis run spans ~tile/occ + 2.2 cells of average
@@ -133,7 +140,10 @@ class WindowData(NamedTuple):
     is_real:  [Ns] bool, True where the sorted row is an original particle
     pos_s:    [Ns, D] sorted extended positions (images pre-shifted)
     shift_s:  [Ns, D] image shift per sorted row (refresh pos without rebuild)
-    w_lo:     [n_tiles, n_seg] segment start row per tile
+    w_lo:     [n_tiles, n_seg] segment start row per tile (128-aligned)
+    w_nact:   [n_tiles, n_seg] per-segment ACTIVE 128-row block count — blocks
+              past the tile's true candidate range hold only provably-zero
+              rows, so Pallas kernels skip their compute entirely
     overflow: [] tiles*segments whose true run exceeded wseg + dropped ghosts
     max_run:  [] largest aligned window length actually required
     """
@@ -144,6 +154,7 @@ class WindowData(NamedTuple):
     pos_s: jax.Array
     shift_s: jax.Array
     w_lo: jax.Array
+    w_nact: jax.Array
     overflow: jax.Array
     max_run: jax.Array
 
@@ -168,38 +179,47 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
     cut = jnp.asarray(spec.cutoff, dtype)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    # ---- periodic images within `cutoff` of each face ----
-    bufs, shifts, drops = [], [], []
-    for off, cap in zip(spec.image_offsets(), spec.ghost_caps):
+    # ---- periodic images within `cutoff` of each face, one pass per axis ----
+    # Each pass images both faces of the ACCUMULATED array, so edge/corner
+    # images appear as ghosts-of-ghosts: 2*dim compaction passes instead of
+    # 3^dim - 1 (the compaction cumsums dominated build time at N=1e6).
+    cur_pos = pos          # extended positions so far (images pre-shifted)
+    cur_orig = idx         # original row per extended row (n = invalid)
+    cur_shift = jnp.zeros((n, dim), dtype)
+    drops = []
+    for d in range(dim):
+        cap = spec.ghost_caps[d]
         if cap == 0:
             continue
-        m = jnp.ones((n,), bool)
-        for d in range(dim):
-            if off[d] > 0:
-                m &= pos[:, d] < lo[d] + cut
-            elif off[d] < 0:
-                m &= pos[:, d] > lo[d] + ext[d] - cut
-        buf, dropped = _pack_offset(m, idx, cap, n)
-        bufs.append(buf)
-        shifts.append(jnp.broadcast_to(jnp.asarray(off, dtype) * ext,
-                                       (cap, dim)))
-        drops.append(dropped)
-
-    orig = jnp.concatenate([idx] + bufs) if bufs else idx
-    shift = (jnp.concatenate([jnp.zeros((n, dim), dtype)] + shifts)
-             if bufs else jnp.zeros((n, dim), dtype))
+        nc = cur_pos.shape[0]
+        rows_c = jnp.arange(nc, dtype=jnp.int32)
+        off = jnp.zeros((dim,), dtype).at[d].set(ext[d])
+        new_pos, new_orig, new_shift = [], [], []
+        for sgn, m in ((1.0, cur_pos[:, d] < lo[d] + cut),
+                       (-1.0, cur_pos[:, d] > lo[d] + ext[d] - cut)):
+            m = m & (cur_orig < n)
+            take, dropped = _pack_offset(m, rows_c, cap, nc)
+            drops.append(dropped)
+            tk = jnp.minimum(take, nc - 1)
+            invalid = take >= nc
+            new_pos.append(cur_pos[tk] + sgn * off)
+            new_orig.append(jnp.where(invalid, n, cur_orig[tk]))
+            new_shift.append(jnp.where(invalid[:, None], 0.0,
+                                       cur_shift[tk] + sgn * off))
+        cur_pos = jnp.concatenate([cur_pos] + new_pos)
+        cur_orig = jnp.concatenate([cur_orig] + new_orig)
+        cur_shift = jnp.concatenate([cur_shift] + new_shift)
     ghost_drop = sum(drops) if drops else jnp.zeros((), jnp.int32)
 
-    n_raw = orig.shape[0]
+    n_raw = cur_orig.shape[0]
     n_pad = spec.n_sorted - n_raw
     if n_pad < 0:
         raise ValueError("spec.n_sorted too small for ghosts; re-plan")
-    orig = jnp.concatenate([orig, jnp.full((n_pad,), n, jnp.int32)])
-    shift = jnp.concatenate([shift, jnp.zeros((n_pad, dim), dtype)])
+    orig = jnp.concatenate([cur_orig, jnp.full((n_pad,), n, jnp.int32)])
+    shift = jnp.concatenate([cur_shift, jnp.zeros((n_pad, dim), dtype)])
+    pos_e = jnp.concatenate([cur_pos, jnp.zeros((n_pad, dim), dtype)])
 
     valid = orig < n
-    pos_pad = jnp.concatenate([pos, jnp.zeros((1, dim), dtype)])
-    pos_e = pos_pad[jnp.minimum(orig, n)] + shift
 
     # ---- extended-grid row-major keys (last axis fastest) ----
     res_i = jnp.asarray(spec.res, jnp.int32)
@@ -209,30 +229,43 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
     strides = np.concatenate([np.cumprod(res_ext[::-1])[-2::-1], [1]])
     strides_j = jnp.asarray(strides, jnp.int32)
 
-    def code(coords):
-        return jnp.sum(coords * strides_j, axis=-1)
-
-    key = jnp.where(valid, code(c), _BIG)
-    order = jnp.argsort(key)
-    key_s = key[order]
-    g = orig[order]
-    pos_s = pos_e[order]
-    c_s = c[order]
+    key = jnp.where(valid, jnp.sum(c * strides_j, axis=-1), _BIG)
+    order = jnp.arange(spec.n_sorted, dtype=jnp.int32)
+    key_s, order = jax.lax.sort_key_val(key, order)
     is_real = order < n
+
+    # one packed row gather instead of one gather per field (gathers are
+    # per-row latency-bound on TPU): [Ns, 8] = pos_e(3) | shift(3) | orig | 0
+    packed = jnp.zeros((spec.n_sorted, 8), dtype)
+    packed = packed.at[:, 0:dim].set(pos_e)
+    packed = packed.at[:, 3:3 + dim].set(shift)
+    packed = packed.at[:, 6].set(
+        jax.lax.bitcast_convert_type(orig, dtype) if dtype == jnp.float32
+        else orig.astype(dtype))
+    packed_s = packed[order]
+    pos_s = packed_s[:, 0:dim]
+    shift_s = packed_s[:, 3:3 + dim]
+    if dtype == jnp.float32:
+        g = jax.lax.bitcast_convert_type(packed_s[:, 6], jnp.int32)
+    else:
+        g = packed_s[:, 6].astype(jnp.int32)
 
     inv_real = jnp.full((n + 1,), spec.n_sorted - 1, jnp.int32)
     rows = jnp.arange(spec.n_sorted, dtype=jnp.int32)
     inv_real = inv_real.at[jnp.where(is_real, g, n)].set(rows, mode="drop")
     src = inv_real[jnp.minimum(g, n)]
 
-    # ---- per-row pencil runs -> per-tile segment windows ----
+    # ---- per-tile pencil runs (tile-level cell-start lookups) ----
     # Dense cell-start table: first sorted row of every extended cell, built
     # with one scatter-min + one reverse cumulative min (empty cells inherit
-    # the next cell's start). Replaces per-row binary searches entirely.
+    # the next cell's start). `first` is monotone non-decreasing, so a tile's
+    # window bounds need only the min/max REAL key in the tile:
+    #   min_rows first[key + delta - 1] == first[kmin + delta - 1]
+    #   max_rows first[key + delta + 2] == first[kmax + delta + 2]
+    # -> 2 * n_seg gathers of [n_tiles] instead of [Ns].
     T, S, nt = spec.tile, spec.wseg, spec.n_tiles
     n_seg = spec.n_seg
     ncells_ext = int(np.prod(res_ext))
-    rows = jnp.arange(spec.n_sorted, dtype=jnp.int32)
     n_valid = jnp.sum(valid).astype(jnp.int32)
     first = jnp.full((ncells_ext + 1,), spec.n_sorted, jnp.int32)
     first = first.at[ncells_ext].min(n_valid)
@@ -245,30 +278,34 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
     # wastes wseg. Real interior coords are in [1, res], so +-1 offsets stay
     # inside the extended grid and neighbor-cell codes are pure integer
     # shifts of the row's own key.
+    kt = key_s.reshape(nt, T)
+    rt = is_real.reshape(nt, T)
+    kmin_t = jnp.min(jnp.where(rt, kt, _BIG), axis=1)      # [nt]
+    kmax_t = jnp.max(jnp.where(rt, kt, -1), axis=1)
+    has_real = kmax_t >= 0
     fast_stride = int(strides[-1])  # == 1
     starts, ends = [], []
     for poff in _pencil_offsets(dim):
         delta = int(np.dot(poff, strides[:-1])) if dim > 1 else 0
-        code_lo = key_s.astype(jnp.int32) + (delta - fast_stride)
-        code_hi = key_s.astype(jnp.int32) + (delta + fast_stride)
-        ws = first[jnp.clip(code_lo, 0, ncells_ext)]
-        we = first[jnp.clip(code_hi + 1, 0, ncells_ext)]
-        starts.append(jnp.where(is_real, ws, spec.n_sorted))
-        ends.append(jnp.where(is_real, we, 0))
-    w_start = jnp.stack(starts, axis=-1)  # [Ns, n_seg]
-    w_end = jnp.stack(ends, axis=-1)
+        ws = first[jnp.clip(kmin_t + (delta - fast_stride), 0, ncells_ext)]
+        we = first[jnp.clip(kmax_t + (delta + fast_stride) + 1, 0,
+                            ncells_ext)]
+        starts.append(jnp.where(has_real, ws, spec.n_sorted))
+        ends.append(jnp.where(has_real, we, 0))
+    ws_t = jnp.stack(starts, axis=-1)  # [nt, n_seg]
+    we_t = jnp.stack(ends, axis=-1)
 
-    ws_t = jnp.min(w_start.reshape(nt, T, n_seg), axis=1)
-    we_t = jnp.max(w_end.reshape(nt, T, n_seg), axis=1)
     # align window starts down to the 128-lane tiling (Mosaic DMA offsets
     # into lane-tiled memrefs must be provably 128-divisible); wseg budgets
     # an extra 128 for this in plan_windows
     w_lo = jnp.clip((ws_t // 128) * 128, 0, spec.n_sorted - S)
     w_len = jnp.maximum(we_t - w_lo, 0)
     overflow = jnp.sum(w_len > S) + ghost_drop
+    w_nact = jnp.clip(-(-w_len // 128), 0, S // 128).astype(jnp.int32)
 
     return WindowData(g=g, src=src, is_real=is_real, pos_s=pos_s,
-                      shift_s=shift[order], w_lo=w_lo, overflow=overflow,
+                      shift_s=shift_s, w_lo=w_lo, w_nact=w_nact,
+                      overflow=overflow,
                       max_run=jnp.max(we_t - jnp.clip((ws_t // 128) * 128, 0,
                                                       None)))
 
