@@ -137,6 +137,7 @@ class WindowData(NamedTuple):
 
     g:        [Ns] original row feeding each sorted row (N = zero-mass pad)
     src:      [Ns] sorted row holding the OWNER copy of each sorted row
+    inv:      [N] owner sorted row per ORIGINAL row (unsort = one gather)
     is_real:  [Ns] bool, True where the sorted row is an original particle
     pos_s:    [Ns, D] sorted extended positions (images pre-shifted)
     shift_s:  [Ns, D] image shift per sorted row (refresh pos without rebuild)
@@ -150,6 +151,7 @@ class WindowData(NamedTuple):
 
     g: jax.Array
     src: jax.Array
+    inv: jax.Array
     is_real: jax.Array
     pos_s: jax.Array
     shift_s: jax.Array
@@ -303,8 +305,8 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
     overflow = jnp.sum(w_len > S) + ghost_drop
     w_nact = jnp.clip(-(-w_len // 128), 0, S // 128).astype(jnp.int32)
 
-    return WindowData(g=g, src=src, is_real=is_real, pos_s=pos_s,
-                      shift_s=shift_s, w_lo=w_lo, w_nact=w_nact,
+    return WindowData(g=g, src=src, inv=inv_real[:n], is_real=is_real,
+                      pos_s=pos_s, shift_s=shift_s, w_lo=w_lo, w_nact=w_nact,
                       overflow=overflow,
                       max_run=jnp.max(we_t - jnp.clip((ws_t // 128) * 128, 0,
                                                       None)))
@@ -324,10 +326,13 @@ def mirror_owner(field_sorted, wd: WindowData):
 
 
 def scatter_real(field_sorted, wd: WindowData, n: int):
-    """[Ns, ...] sorted -> [N, ...] original order (ghost/pad rows dropped)."""
-    tgt = jnp.where(wd.is_real, wd.g, n)
-    out = jnp.zeros((n + 1,) + field_sorted.shape[1:], field_sorted.dtype)
-    return out.at[tgt].set(field_sorted, mode="drop")[:n]
+    """[Ns, ...] sorted -> [N, ...] original order (ghost/pad rows dropped).
+
+    Implemented as one gather through the inverse permutation (wd.inv) —
+    gathers beat scatter-inits on TPU and several fields pack into a single
+    multi-column gather (see wengine.derived_with).
+    """
+    return field_sorted[wd.inv]
 
 
 def refresh_pos(pos, wd: WindowData):

@@ -85,6 +85,38 @@ def _seg_keep(wl_ref, i, s, S, dtype, n_seg):
     return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
 
 
+def _blk_keep(wl_ref, wn_ref, row, s, b, dtype, blkw, nblk):
+    """First-occurrence weight (1/0) for compute-block b of segment s.
+
+    A candidate row is a duplicate iff an EARLIER segment's COMPUTED range
+    contains it — exactly min(nact[sp], nblk) * blkw rows from w_lo[sp]
+    (nact*128 on the Mosaic path, where tail blocks are skipped; the full
+    window in interpret mode, where nblk == 1). Rows computed by one
+    convention and not the other contribute zero either way (outside kernel
+    support or zero mass), so all paths agree exactly.
+    """
+    k = (wl_ref[row, s] + b * blkw
+         + jax.lax.broadcasted_iota(jnp.int32, (1, blkw), 1))
+    dup = jnp.zeros((1, blkw), jnp.bool_)
+    for sp in range(s):
+        lo = wl_ref[row, sp]
+        hi = lo + jnp.minimum(wn_ref[row, sp], nblk) * blkw
+        dup |= (k >= lo) & (k < hi)
+    return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
+
+
+def _blocks(S):
+    """Compute-block layout: 128-wide predicated blocks on the Mosaic path
+    (skip tail blocks past the tile's true candidate range); one full-width
+    block in interpret mode, where per-op overhead dominates and a fori
+    over 128-blocks would make CPU CI pathologically slow. The predicate
+    `b * blkw < 128 * nact` activates exactly the same candidate rows either
+    way (inactive rows contribute zero)."""
+    if _interpret():
+        return 1, S
+    return S // 128, 128
+
+
 def _cubic_w(q, h, dim):
     sig = K.sigma(dim)
     q1 = 1.0 - 1.5 * q * q + 0.75 * q * q * q
@@ -142,12 +174,12 @@ def _col(ref, T):
 
 
 def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
-          extra_scratch=()):
+          extra_scratch=(), name="sphax_window_kernel"):
     T, S, n_seg, nt, Ns = _prep(spec)
     # VMEM guard: kernel A keeps ~n_seg*(T+16)*S floats of scratch resident;
-    # past S~2048 the 16 MB scoped-VMEM budget blows. (Interpret mode on CPU
+    # past S~1536 the 16 MB scoped-VMEM budget blows. (Interpret mode on CPU
     # has no such limit — the jnp fallback covers coarse-grid cases there.)
-    if S > 2048 and not _interpret():
+    if S > 1536 and not _interpret():
         raise ValueError(
             f"window segments of {S} rows exceed the Pallas VMEM budget; "
             "the grid is too coarse for the window engine at this N — use "
@@ -157,10 +189,11 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
     Fp = -(-len(win) // 8) * 8
     packed = jnp.zeros((Fp, 1, Ns), dtype)
     packed = packed.at[:len(win), 0, :].set(jnp.stack(win))
+    pad8 = ((0, (-nt) % 8), (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nt,),
-        in_specs=[_wl_spec(n_seg)] + [_own_spec(T)] * len(own)
+        in_specs=[_wl_spec(n_seg), _wl_spec(n_seg)] + [_own_spec(T)] * len(own)
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[_own_spec(T)] * n_out,
         scratch_shapes=[pltpu.VMEM((n_seg, Fp, 1, S), dtype),
@@ -172,7 +205,8 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, Ns), dtype)] * n_out,
         interpret=_interpret(),
-    )(jnp.pad(wd.w_lo, ((0, (-nt) % 8), (0, 0))),
+        name=name,
+    )(jnp.pad(wd.w_lo, pad8), jnp.pad(wd.w_nact, pad8),
       *[_row(a) for a in own], packed)
     return [o.reshape(Ns) for o in outs]
 
@@ -192,54 +226,118 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     the candidate windows are already resident in VMEM, and cs_i needs only
     the particle's own u (gamma-law: cs = sqrt(gamma (gamma-1) u)), so the
     former standalone kernel B's DMA pass disappears.
+
+    Compute is blocked 128 candidates at a time and predicated on the
+    per-(tile, segment) ACTIVE block count (WindowData.w_nact): blocks past
+    a tile's true candidate range hold only provably-zero rows (non-adjacent
+    cells or zero-mass padding), so skipping them changes nothing — and at
+    typical occupancies roughly halves the pair math the static wseg forces.
     """
     T, S, n_seg, nt, Ns = _prep(spec)
+    nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
     iters = cfg.newton_iters if cfg.adaptive_h else 0
     eta_d = float(cfg.eta) ** dim
     hcap = 0.5 * float(spec.cutoff)
     fuse_bals = bool(cfg.balsara) and vel_s is not None
+    sig = float(K.sigma(dim))
+    tiny = 1e-30 if dtype == jnp.float32 else 1e-300
+    ncurl = {1: 0, 2: 1, 3: 3}[dim] if fuse_bals else 0
+    n_acc = 2 + ((1 + ncurl) if fuse_bals else 0)
 
-    def kernel(wl_ref, *refs):
+    def kernel(wl_ref, wn_ref, *refs):
         n_own = dim + 2 + (dim if fuse_bals else 0)
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
         out_refs = refs[n_own + 1:n_own + 1 + (5 if fuse_bals else 3)]
-        wbuf, sems, rbuf = refs[-3:]
+        wbuf, sems, rbuf, acc = refs[-4:]
         i = pl.program_id(0)
+        row = i % 8
         _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
 
         xi = [_col(own_refs[d], T) for d in range(dim)]
         m_i = _col(own_refs[dim], T)
         h_i = _col(own_refs[dim + 1], T)
+        vi = ([_col(own_refs[dim + 2 + d], T) for d in range(dim)]
+              if fuse_bals else None)
 
-        # pair distances + dedup'd masses once, reused across iterations
-        for s in range(n_seg):
-            r2 = jnp.zeros((T, S), dtype)
-            for d in range(dim):
-                dxd = xi[d] - wbuf[s, d]
-                r2 = r2 + dxd * dxd
-            rbuf[s] = jnp.sqrt(r2)
-            wbuf[s, dim] = wbuf[s, dim] * _seg_keep(wl_ref, i, s, S, dtype, n_seg)
+        def sums(h, first=False, final=False):
+            """One walk over the active candidate blocks.
 
-        def sums(h):
-            rho = jnp.zeros((T, 1), dtype)
-            drdh = jnp.zeros((T, 1), dtype)
+            first: also compute + cache pair distances and dedup the masses
+            (fused so the first Newton evaluation costs no extra walk).
+            final: also accumulate the Balsara div/curl estimator sums,
+            reusing this walk's q/t/dwdq (G = dwdq * invh / r exactly — the
+            r*invr roundoff is ~tiny/r^2, zero contribution at r = 0 since
+            dx = dv = 0 there).
+
+            Lane-wise partial sums accumulate in VMEM scratch (pl.when
+            bodies cannot carry jnp values); one cross-lane reduction each
+            at the end.
+            """
+            invh = 1.0 / h                      # [T, 1]
+            sigd = sig * invh**dim
+            do_bals = final and fuse_bals
+            kmax = n_acc if do_bals else 2
+            for k in range(kmax):
+                acc[k] = jnp.zeros((T, blkw), dtype)
             for s in range(n_seg):
-                r = rbuf[s]
-                m_j = wbuf[s, dim]
-                q = r / h
-                w = _cubic_w(q, h, dim)
-                dwdh = _cubic_dwdh(q, h, w, dim)
-                rho = rho + jnp.sum(m_j * w, axis=1, keepdims=True)
-                drdh = drdh + jnp.sum(m_j * dwdh, axis=1, keepdims=True)
+                nact = wn_ref[row, s]
+                for b in range(nblk):
+                    @pl.when(b * blkw < nact * 128)
+                    def _(s=s, b=b):
+                        sl = slice(b * blkw, (b + 1) * blkw)
+                        if first:
+                            r2 = jnp.zeros((T, blkw), dtype)
+                            for d in range(dim):
+                                dxd = xi[d] - wbuf[s, d, :, sl]
+                                r2 = r2 + dxd * dxd
+                            invr = jax.lax.rsqrt(r2 + tiny)
+                            r = r2 * invr
+                            rbuf[s, :, sl] = r
+                            keep = _blk_keep(wl_ref, wn_ref, row, s, b,
+                                             dtype, blkw, nblk)
+                            m_j = wbuf[s, dim, :, sl] * keep
+                            wbuf[s, dim, :, sl] = m_j
+                        else:
+                            r = rbuf[s, :, sl]
+                            m_j = wbuf[s, dim, :, sl]
+                        q = r * invh
+                        t = 2.0 - q
+                        lt1 = q < 1.0
+                        live = q < 2.0
+                        f = jnp.where(lt1, 1.0 + q * q * (0.75 * q - 1.5),
+                                      0.25 * t * t * t)
+                        df = jnp.where(lt1, q * (2.25 * q - 3.0),
+                                       -0.75 * t * t)
+                        w = jnp.where(live, sigd * f, 0.0)
+                        dwdq = jnp.where(live, sigd * df, 0.0)
+                        acc[0] += m_j * w
+                        acc[1] += m_j * (-(dim * w + q * dwdq) * invh)
+                        if do_bals:
+                            if not first:
+                                invr = jax.lax.rsqrt(r * r + tiny)
+                            mw = m_j * (dwdq * invh * invr)
+                            dx = [xi[d] - wbuf[s, d, :, sl]
+                                  for d in range(dim)]
+                            dv = [vi[d] - wbuf[s, dim + 1 + d, :, sl]
+                                  for d in range(dim)]
+                            vdotr = sum(dv[d] * dx[d] for d in range(dim))
+                            acc[2] += mw * vdotr
+                            if dim == 3:
+                                acc[3] += mw * (dv[1] * dx[2] - dv[2] * dx[1])
+                                acc[4] += mw * (dv[2] * dx[0] - dv[0] * dx[2])
+                                acc[5] += mw * (dv[0] * dx[1] - dv[1] * dx[0])
+                            elif dim == 2:
+                                acc[3] += mw * (dv[0] * dx[1] - dv[1] * dx[0])
+            rho = jnp.sum(acc[0], axis=1, keepdims=True)
+            drdh = jnp.sum(acc[1], axis=1, keepdims=True)
             return rho, drdh
 
         m_safe = jnp.maximum(m_i, 1e-30)
 
-        def newton(_, h):
-            rho, drdh = sums(h)
+        def newton_update(h, rho, drdh):
             rho = jnp.maximum(rho, 1e-30)
             rho_h = m_safe * eta_d / h**dim
             phi = rho - rho_h
@@ -249,42 +347,29 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
             # structural cap: windows only cover neighbours to spec.cutoff
             return jnp.minimum(h + dh, hcap)
 
-        h = jax.lax.fori_loop(0, iters, newton, h_i) if iters else h_i
-        rho, drdh = sums(h)
+        if iters:
+            rho, drdh = sums(h_i, first=True)
+            h = newton_update(h_i, rho, drdh)
+            h = jax.lax.fori_loop(
+                0, iters - 1,
+                lambda _, hh: newton_update(hh, *sums(hh)), h)
+            rho, drdh = sums(h, final=True)
+        else:
+            h = h_i
+            rho, drdh = sums(h, first=True, final=True)
         out_refs[0][:, :] = h.reshape(1, T)
         out_refs[1][:, :] = rho.reshape(1, T)
         out_refs[2][:, :] = drdh.reshape(1, T)
 
         if fuse_bals:
-            vi = [_col(own_refs[dim + 2 + d], T) for d in range(dim)]
-            divv = jnp.zeros((T, 1), dtype)
-            curl = [jnp.zeros((T, 1), dtype) for _ in range(3)]
-            for s in range(n_seg):
-                m_j = wbuf[s, dim]  # already dedup'd
-                xj = [wbuf[s, d] for d in range(dim)]
-                vj = [wbuf[s, dim + 1 + d] for d in range(dim)]
-                dx = [xi[d] - xj[d] for d in range(dim)]
-                dv = [vi[d] - vj[d] for d in range(dim)]
-                r = rbuf[s]
-                g = _cubic_g(r / h, r, h, dim)
-                mw = m_j * g
-                vdotr = sum(dv[d] * dx[d] for d in range(dim))
-                divv = divv + jnp.sum(mw * vdotr, axis=1, keepdims=True)
-                if dim == 3:
-                    curl[0] += jnp.sum(mw * (dv[1] * dx[2] - dv[2] * dx[1]),
-                                       axis=1, keepdims=True)
-                    curl[1] += jnp.sum(mw * (dv[2] * dx[0] - dv[0] * dx[2]),
-                                       axis=1, keepdims=True)
-                    curl[2] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
-                                       axis=1, keepdims=True)
-                elif dim == 2:
-                    curl[0] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
-                                       axis=1, keepdims=True)
+            divv = jnp.sum(acc[2], axis=1, keepdims=True)
             out_refs[3][:, :] = divv.reshape(1, T)
             if dim == 3:
-                cm = jnp.sqrt(curl[0] ** 2 + curl[1] ** 2 + curl[2] ** 2)
+                c = [jnp.sum(acc[3 + k], axis=1, keepdims=True)
+                     for k in range(3)]
+                cm = jnp.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2)
             elif dim == 2:
-                cm = jnp.abs(curl[0])
+                cm = jnp.abs(jnp.sum(acc[3], axis=1, keepdims=True))
             else:
                 cm = jnp.zeros((T, 1), dtype)
             out_refs[4][:, :] = cm.reshape(1, T)
@@ -295,8 +380,9 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
         own += [vel_s[:, d] for d in range(dim)]
         win += [vel_s[:, d] for d in range(dim)]
     rscratch = pltpu.VMEM((n_seg, T, S), dtype)
+    ascratch = pltpu.VMEM((n_acc, T, blkw), dtype)
     outs = _call(kernel, spec, wd, own, win, 5 if fuse_bals else 3, dtype,
-                 extra_scratch=[rscratch])
+                 extra_scratch=[rscratch, ascratch], name="sphax_h_density")
     return tuple(outs)
 
 
@@ -312,7 +398,7 @@ def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     dim = cfg.dim
     dtype = pos_s.dtype
 
-    def kernel(wl_ref, *refs):
+    def kernel(wl_ref, wn_ref, *refs):
         n_own = 2 * dim + 1
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
@@ -363,7 +449,8 @@ def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
            + [vel_s[:, d] for d in range(dim)] + [h_s])
     win = ([pos_s[:, d] for d in range(dim)]
            + [vel_s[:, d] for d in range(dim)] + [mass_s])
-    div_sum, curl_sum = _call(kernel, spec, wd, own, win, 2, dtype)
+    div_sum, curl_sum = _call(kernel, spec, wd, own, win, 2, dtype,
+                              name="sphax_balsara")
     return div_sum, curl_sum
 
 
@@ -374,90 +461,127 @@ def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
 
 def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
            rho_s, P_s, cs_s, om_s, bf_s, cfg: SPHConfig):
-    """Returns (acc_s [Ns, D], du_s [Ns]). Literal pairs.force_terms."""
+    """Returns (acc_s [Ns, D], du_s [Ns]). Same math as pairs.force_terms.
+
+    Flop diet: every per-pair divide except the two genuinely pairwise ones
+    (viscous mu denominator, rhobar) is hoisted — 1/h and the gradient
+    prefactors sig/h^(d+1), sig/h^(d+2) are precomputed per PARTICLE and
+    shipped as window fields for the j side / [T,1] columns for the i side,
+    and r, 1/r come from one rsqrt. Compute is blocked 128 candidates at a
+    time, predicated on WindowData.w_nact (see solve_h_density).
+    """
     T, S, n_seg, nt, Ns = _prep(spec)
+    nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
     use_bf = bool(cfg.balsara)
     alpha, beta, epsv = (float(cfg.alpha_visc), float(cfg.beta_visc),
                          float(cfg.eps_visc))
-    n_scal = 5 + (1 if use_bf else 0)  # h, rho, P, cs, om (, bf)
+    sig = float(K.sigma(dim))
+    tiny = 1e-30 if dtype == jnp.float32 else 1e-300
 
-    def kernel(wl_ref, *refs):
-        n_own = 2 * dim + n_scal
+    # per-particle hoisted fields (one cheap [Ns] pass each)
+    invh_s = 1.0 / h_s
+    ci_s = P_s / (om_s * rho_s * rho_s)
+    gc1_s = sig * invh_s ** (dim + 1)
+    gc2_s = gc1_s * invh_s
+
+    n_scal_own = 5 + (1 if use_bf else 0)  # h, invh, rho, cs, ci (, bf)
+    n_scal_win = 8 + (1 if use_bf else 0)  # m, h, invh, rho, cs, cj, gc1,
+    #                                        gc2 (, bf)
+
+    def kernel(wl_ref, wn_ref, *refs):
+        n_own = 2 * dim + n_scal_own
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
         out_refs = refs[n_own + 1:n_own + 2 + dim]
-        wbuf, sems = refs[-2:]
+        wbuf, sems, acc = refs[-3:]
         i = pl.program_id(0)
+        row = i % 8
         _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
 
         o = iter(range(n_own))
         xi = [_col(own_refs[next(o)], T) for _ in range(dim)]
         vi = [_col(own_refs[next(o)], T) for _ in range(dim)]
         h_i = _col(own_refs[next(o)], T)
+        invh_i = _col(own_refs[next(o)], T)
         rho_i = _col(own_refs[next(o)], T)
-        P_i = _col(own_refs[next(o)], T)
         cs_i = _col(own_refs[next(o)], T)
-        om_i = _col(own_refs[next(o)], T)
+        ci = _col(own_refs[next(o)], T)
         bf_i = _col(own_refs[next(o)], T) if use_bf else None
+        gc1_i = sig * invh_i ** (dim + 1)
+        gc2_i = gc1_i * invh_i
 
-        ci = P_i / (om_i * rho_i * rho_i)
+        for k in range(dim + 1):
+            acc[k] = jnp.zeros((T, blkw), dtype)
 
-        acc = [jnp.zeros((T, 1), dtype) for _ in range(dim)]
-        du = jnp.zeros((T, 1), dtype)
         for s in range(n_seg):
-            keep = _seg_keep(wl_ref, i, s, S, dtype, n_seg)
-            w = iter(range(2 * dim + n_scal + 1))
-            xj = [wbuf[s, next(w)] for _ in range(dim)]
-            vj = [wbuf[s, next(w)] for _ in range(dim)]
-            m_j = wbuf[s, next(w)] * keep
-            h_j = wbuf[s, next(w)]
-            rho_j = wbuf[s, next(w)]
-            P_j = wbuf[s, next(w)]
-            cs_j = wbuf[s, next(w)]
-            om_j = wbuf[s, next(w)]
-            bf_j = wbuf[s, next(w)] if use_bf else None
+            nact = wn_ref[row, s]
+            for b in range(nblk):
+                @pl.when(b * blkw < nact * 128)
+                def _(s=s, b=b):
+                    sl = slice(b * blkw, (b + 1) * blkw)
+                    w = iter(range(2 * dim + n_scal_win))
+                    xj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
+                    vj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
+                    keep = _blk_keep(wl_ref, wn_ref, row, s, b, dtype, blkw, nblk)
+                    m_j = wbuf[s, next(w), :, sl] * keep
+                    h_j = wbuf[s, next(w), :, sl]
+                    invh_j = wbuf[s, next(w), :, sl]
+                    rho_j = wbuf[s, next(w), :, sl]
+                    cs_j = wbuf[s, next(w), :, sl]
+                    cj = wbuf[s, next(w), :, sl]
+                    gc1_j = wbuf[s, next(w), :, sl]
+                    gc2_j = wbuf[s, next(w), :, sl]
+                    bf_j = wbuf[s, next(w), :, sl] if use_bf else None
 
-            dx = [xi[d] - xj[d] for d in range(dim)]
-            dv = [vi[d] - vj[d] for d in range(dim)]
-            r2 = sum(d_ * d_ for d_ in dx)
-            r = jnp.sqrt(r2)
+                    dx = [xi[d] - xj[d] for d in range(dim)]
+                    dv = [vi[d] - vj[d] for d in range(dim)]
+                    r2 = sum(d_ * d_ for d_ in dx)
+                    invr = jax.lax.rsqrt(r2 + tiny)
+                    r = r2 * invr
 
-            gi = _cubic_g(r / h_i, r, h_i, dim)
-            gj = _cubic_g(r / h_j, r, h_j, dim)
-            gbar = 0.5 * (gi + gj)
-            cj = P_j / (om_j * rho_j * rho_j)
+                    qi = r * invh_i
+                    qj = r * invh_j
+                    ti = 2.0 - qi
+                    tj = 2.0 - qj
+                    gi = jnp.where(qi < 1.0, gc2_i * (2.25 * qi - 3.0),
+                                   (-0.75) * gc1_i * (ti * ti) * invr)
+                    gi = jnp.where(qi < 2.0, gi, 0.0)
+                    gj = jnp.where(qj < 1.0, gc2_j * (2.25 * qj - 3.0),
+                                   (-0.75) * gc1_j * (tj * tj) * invr)
+                    gj = jnp.where(qj < 2.0, gj, 0.0)
+                    gbar = 0.5 * (gi + gj)
 
-            vdotr = sum(dv[d] * dx[d] for d in range(dim))
-            hbar = 0.5 * (h_i + h_j)
-            mu = hbar * vdotr / (r2 + epsv * hbar * hbar)
-            mu = jnp.where(vdotr < 0.0, mu, 0.0)
-            cbar = 0.5 * (cs_i + cs_j)
-            rhobar = 0.5 * (rho_i + rho_j)
-            Pi = (-alpha * cbar * mu + beta * mu * mu) / rhobar
-            if use_bf:
-                Pi = Pi * (0.5 * (bf_i + bf_j))
+                    vdotr = sum(dv[d] * dx[d] for d in range(dim))
+                    hbar = 0.5 * (h_i + h_j)
+                    mu = hbar * vdotr / (r2 + epsv * hbar * hbar)
+                    mu = jnp.where(vdotr < 0.0, mu, 0.0)
+                    cbar = 0.5 * (cs_i + cs_j)
+                    rhobar = 0.5 * (rho_i + rho_j)
+                    Pi = (beta * mu - alpha * cbar) * mu / rhobar
+                    if use_bf:
+                        Pi = Pi * (0.5 * (bf_i + bf_j))
 
-            fcoef = m_j * (ci * gi + cj * gj + Pi * gbar)
-            for d in range(dim):
-                acc[d] = acc[d] - jnp.sum(fcoef * dx[d], axis=1,
-                                          keepdims=True)
-            du = du + jnp.sum(m_j * (ci * gi + 0.5 * Pi * gbar) * vdotr,
-                              axis=1, keepdims=True)
-        for d in range(dim):
-            out_refs[d][:, :] = acc[d].reshape(1, T)
-        out_refs[dim][:, :] = du.reshape(1, T)
+                    fcoef = m_j * (ci * gi + cj * gj + Pi * gbar)
+                    for d in range(dim):
+                        acc[d] -= fcoef * dx[d]
+                    acc[dim] += m_j * (ci * gi + 0.5 * Pi * gbar) * vdotr
+
+        for d in range(dim + 1):
+            out_refs[d][:, :] = jnp.sum(acc[d], axis=1).reshape(1, T)
 
     own = ([pos_s[:, d] for d in range(dim)]
            + [vel_s[:, d] for d in range(dim)]
-           + [h_s, rho_s, P_s, cs_s, om_s]
+           + [h_s, invh_s, rho_s, cs_s, ci_s]
            + ([bf_s] if use_bf else []))
     win = ([pos_s[:, d] for d in range(dim)]
            + [vel_s[:, d] for d in range(dim)]
-           + [mass_s, h_s, rho_s, P_s, cs_s, om_s]
+           + [mass_s, h_s, invh_s, rho_s, cs_s, ci_s, gc1_s, gc2_s]
            + ([bf_s] if use_bf else []))
-    outs = _call(kernel, spec, wd, own, win, dim + 1, dtype)
+    ascratch = pltpu.VMEM((dim + 1, T, blkw), dtype)
+    outs = _call(kernel, spec, wd, own, win, dim + 1, dtype,
+                 extra_scratch=[ascratch], name="sphax_forces")
     acc = jnp.stack(outs[:dim], axis=-1)
     return acc, outs[dim]
 
@@ -472,10 +596,16 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
 def gravity(pos, mass, cfg: SPHConfig, chunk: int = 1024):
     """acc[N, D] = -G sum_j m_j (r^2 + eps^2)^{-3/2} dx, Plummer-softened.
 
-    Self-pairs contribute exactly zero (dx = 0). Inputs are packed
-    [8, 1, Np] (x, y, z, m, zero-pad fields; Np padded to ``chunk``) so each
-    column chunk is one strided DMA.
+    OPEN-BOUNDARY convention: no periodic min-image (wengine dispatches
+    periodic domains to clist.gravity_dense; true periodic gravity needs
+    Ewald sums). Self-pairs contribute exactly zero (dx = 0) — which relies
+    on grav_eps > 0 (grav_eps = 0 would give rsqrt(0) * 0 = NaN), hence the
+    guard. Inputs are packed [8, 1, Np] (x, y, z, m, zero-pad fields; Np
+    padded to ``chunk``) so each column chunk is one strided DMA.
     """
+    if float(cfg.grav_eps) <= 0.0:
+        raise ValueError("cfg.grav_eps must be > 0 for the Pallas gravity "
+                         "kernel (softening also guards the self-pair)")
     n, dim = pos.shape
     dtype = pos.dtype
     T = 128

@@ -231,33 +231,34 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
         else:
             h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s,
                                                      mass_s, h_s, cfg)
-        h_s = win.mirror_owner(h_s, wd)
     else:
         if cfg.adaptive_h:
             h_s = solve_h(wd, spec, pos_s, mass_s, h_s, cfg, tile_block)
-            h_s = win.mirror_owner(h_s, wd)
         rho_s, drho_dh = density_pass(wd, spec, pos_s, mass_s, h_s, cfg.dim,
                                       tile_block)
+    # Everything below is valid on OWNER rows only (ghost rows ran on junk
+    # windows); one PACKED owner-mirror gather fixes all four window-shipped
+    # scalars at once — per-field gathers were ~25% of step time at N=1e6.
     rho_s = jnp.maximum(rho_s, 1e-15)
     if cfg.grad_h:
         om_s = 1.0 + h_s / (cfg.dim * rho_s) * drho_dh
     else:
         om_s = jnp.ones_like(rho_s)
-    rho_s = win.mirror_owner(rho_s, wd)
-    om_s = win.mirror_owner(om_s, wd)
-    P_s, cs_s = eos(rho_s, u_s, cfg)
     if cfg.balsara:
+        _, cs_pre = eos(rho_s, u_s, cfg)
         if use_pallas:
             # div/curl sums came fused out of kernel A (windows reused)
-            rho_safe = jnp.maximum(rho_s, 1e-15)
-            bf_s = pairs.balsara_factor(-div_sum / rho_safe,
-                                        curl_sum / rho_safe, cs_s, h_s)
+            bf_s = pairs.balsara_factor(-div_sum / rho_s,
+                                        curl_sum / rho_s, cs_pre, h_s)
         else:
             bf_s = balsara_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
-                                cs_s, cfg, tile_block)
-        bf_s = win.mirror_owner(bf_s, wd)
+                                cs_pre, cfg, tile_block)
     else:
         bf_s = jnp.ones_like(rho_s)
+    mirrored = jnp.stack([h_s, rho_s, om_s, bf_s], axis=-1)[wd.src]
+    h_s, rho_s, om_s, bf_s = (mirrored[:, 0], mirrored[:, 1], mirrored[:, 2],
+                              mirrored[:, 3])
+    P_s, cs_s = eos(rho_s, u_s, cfg)
     if use_pallas:
         acc_s, du_s = pk.forces(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
                                 P_s, cs_s, om_s, bf_s, cfg)
@@ -266,7 +267,11 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
                                  P_s, cs_s, om_s, bf_s, cfg, tile_block)
 
     if cfg.gravity:
-        if use_pallas:
+        # the Pallas kernel uses the open-boundary convention (no min-image);
+        # on periodic domains fall back to the min-image jnp pass so both
+        # engine paths agree (true periodic gravity needs Ewald sums — out of
+        # scope, documented in NEXT.md)
+        if use_pallas and not any(domain.periodic_axes(state.dim)):
             acc_g = pk.gravity(state.pos, state.mass, cfg)
         else:
             from sphax.physics.clist import gravity_dense
@@ -274,13 +279,16 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
     else:
         acc_g = None
 
-    unsort = lambda v: win.scatter_real(v, wd, n)
-    acc = unsort(acc_s)
+    # one packed unsort gather (inverse permutation) for all outputs
+    cols = [h_s, rho_s, P_s, cs_s, om_s, du_s] + [acc_s[:, d]
+                                                  for d in range(state.dim)]
+    out = jnp.stack(cols, axis=-1)[wd.inv]
+    acc = out[:, 6:6 + state.dim]
     if acc_g is not None:
         acc = acc + acc_g
-    return state._replace(h=unsort(h_s), rho=unsort(rho_s), P=unsort(P_s),
-                          cs=unsort(cs_s), omega=unsort(om_s), acc=acc,
-                          du_dt=unsort(du_s))
+    return state._replace(h=out[:, 0], rho=out[:, 1], P=out[:, 2],
+                          cs=out[:, 3], omega=out[:, 4], acc=acc,
+                          du_dt=out[:, 5])
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "tile_block", "use_pallas"))
