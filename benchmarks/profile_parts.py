@@ -43,6 +43,12 @@ def main():
     build = jax.jit(lambda p: win.build(p, dom, spec))
     t_build, wd = timeit(build, st.pos)
     print(f"window build:        {t_build*1e3:8.2f} ms")
+    import numpy as np
+    na = np.asarray(wd.w_nact)
+    print(f"w_nact: mean {na.mean():.2f} of {spec.wseg//128} blocks "
+          f"(p50 {np.percentile(na,50):.0f}, p95 {np.percentile(na,95):.0f}, "
+          f"max {na.max()}) -> active cand/row "
+          f"{na.mean()*128*spec.n_seg:.0f}")
 
     pos_s = win.refresh_pos(st.pos, wd)
     vel_s = win.gather_sorted(st.vel, wd)

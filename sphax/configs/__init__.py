@@ -38,6 +38,19 @@ class SPHConfig:
     eps_visc: float = 0.01            # softening in mu_ij denominator (eps*h^2)
     balsara: bool = False             # Balsara shear limiter
 
+    # Morris-Monaghan (1997) time-dependent per-particle alpha(t):
+    #   d alpha_i/dt = max(-div v, 0)(alpha_max - alpha_i)
+    #                  - (alpha_i - alpha_min) sigma c_i / h_i
+    # With the standard beta = 2 alpha convention this is EXACTLY a
+    # per-particle multiplier on Pi_ij: engines feed 0.5(alpha_i + alpha_j)
+    # through the same pair channel as the Balsara factor (keep
+    # alpha_visc=1, beta_visc=2 so the multipliers compose as intended;
+    # with balsara also on, the per-particle factor is bf_i * alpha_i).
+    mm_visc: bool = False
+    mm_alpha_min: float = 0.1
+    mm_alpha_max: float = 1.5
+    mm_sigma: float = 0.2             # decay rate coefficient (tau = h/(sigma c))
+
     # Self-gravity (direct sum, Plummer softening)
     gravity: bool = False
     G: float = 1.0
@@ -54,9 +67,28 @@ class SPHConfig:
     # Neighbor infrastructure
     n_ngb_cap: int = 64               # fixed degree K for neighbor lists
 
+    # Production fast-math: approximate VPU reciprocals for the two
+    # genuinely per-pair divides in the force kernel (viscous mu
+    # denominator, rhobar). ~1e-3 relative error in the ARTIFICIAL
+    # viscosity term only (whose coefficients are O(1) calibrations), so
+    # physically free — but it breaks the 1e-6 reference-parity bar, hence
+    # opt-in and excluded from parity suites. Ignored off-TPU.
+    fast_math: bool = False
+
     @property
     def support(self) -> float:
         return 2.0
+
+    @property
+    def visc_factor_on(self) -> bool:
+        """True when a per-particle viscosity multiplier rides the pair
+        term (Balsara limiter and/or Morris-Monaghan alpha)."""
+        return self.balsara or self.mm_visc
+
+    @property
+    def need_divv(self) -> bool:
+        """True when engines must compute the SPH div-v estimator."""
+        return self.balsara or self.mm_visc
 
 
 # ---- canonical problem configs (BASELINE.json configs 1-5) -----------------

@@ -44,7 +44,12 @@ class ParticleState(NamedTuple):
     acc: Array    # [N, D] acceleration (derived)
     du_dt: Array  # [N]    du/dt (derived)
     omega: Array  # [N]    grad-h correction factor Omega_i (derived; 1 if off)
-    alpha: Array  # [N]    per-particle viscosity alpha (Morris-Monaghan; const if off)
+    alpha: Array  # [N]    per-particle viscosity alpha(t), evolved by the
+    #                      integrator when cfg.mm_visc (Morris-Monaghan 1997);
+    #                      constant (= alpha0) otherwise
+    divv: Array   # [N]    SPH velocity-divergence estimate (derived; the
+    #                      Morris-Monaghan source term; 0 unless an engine
+    #                      computes it, i.e. cfg.balsara or cfg.mm_visc)
 
     @property
     def n(self) -> int:
@@ -78,6 +83,7 @@ def make_state(pos, vel, mass, u, h, alpha0: float = 1.0) -> ParticleState:
         du_dt=z,
         omega=jnp.ones((n,), dtype),
         alpha=jnp.full((n,), alpha0, dtype),
+        divv=z,
     )
 
 

@@ -320,9 +320,12 @@ def _local_derived(st: ParticleState, cfg: SPHConfig, domain: Domain,
         om_s = jnp.ones_like(rho_s)
     P_s, cs_s = eos(rho_s, comb_u[perm], cfg)
     if cfg.balsara:
-        bf_s = clist.balsara_pass(cl, grid, domain, nc, cell_block, pos_p,
-                                  vel_p, mass_p, h_s, rho_s, cs_s, cfg,
-                                  bin_per=bin_per)
+        from sphax.physics import pairs as _pairs
+
+        divv_s, curl_s = clist.divcurl_pass(cl, grid, domain, nc, cell_block,
+                                            pos_p, vel_p, mass_p, h_s, rho_s,
+                                            cfg, bin_per=bin_per)
+        bf_s = _pairs.balsara_factor(divv_s, curl_s, cs_s, h_s)
     else:
         bf_s = jnp.ones_like(rho_s)
 
@@ -366,10 +369,11 @@ def _local_derived(st: ParticleState, cfg: SPHConfig, domain: Domain,
 
 def make_step(mesh: Mesh, cfg: SPHConfig, spec: DistSpec):
     """Build the jitted distributed KDK step: (state, domain) -> (state, dt)."""
-    if cfg.gravity:
+    if cfg.gravity or cfg.mm_visc:
         raise NotImplementedError(
-            "self-gravity is long-range; the slab engine does not support it "
-            "yet (run Evrard single-chip, SURVEY.md §7)")
+            "the clist slab engine is the simple fallback; self-gravity and "
+            "Morris-Monaghan viscosity run distributed in the production "
+            "window-engine decomposition (sphax/dist/wslab.py)")
 
     def local_step(st: ParticleState, domain: Domain):
         dt = jax.lax.pmin(local_dt(st, cfg), AXIS)

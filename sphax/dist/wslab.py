@@ -1,0 +1,783 @@
+"""Production multi-chip slab decomposition running the WINDOW engine.
+
+This is the scale-out path for the flagship configs (SURVEY.md C15-C19,
+BASELINE.json:11 "N=1e7-1e8 multi-chip"): the box is cut into slabs along one
+axis at CELL-granular, count-balanced positions, particles are sharded by
+slab, and each jitted step runs the same fused Pallas window kernels as the
+single-chip hot path (sphax/physics/{wengine,pallas_kernels}) on
+owned+ghost particles inside a ``jax.shard_map`` region:
+
+  * phase 1: ``lax.ppermute`` ships boundary kinematics (pos/vel/mass) to the
+    two face neighbors over ICI;
+  * the per-shard sorted pencil-window structure is built over a LOCAL bin
+    box (open slab axis with a trash band, globally periodic transverse
+    axes), and kernel A runs on it;
+  * phase 2: ``ppermute`` ships the owner-computed hydro fields
+    (h/rho/P/cs/Omega/balsara) for the SAME boundary sets, so ghost j-values
+    in kernel C are exactly the owner's;
+  * one global ``lax.pmin`` reduces the timestep.
+
+Unlike round 1's ``dist/slab.py`` (equal-extent slabs, clist engine,
+host-side redistribution — kept as the simple fallback), this module adds:
+
+  * ON-DEVICE migration (``migrate``): emigrants ride the same face-neighbor
+    ``ppermute`` ring with fixed-capacity send buffers, and each shard
+    compacts locally — the chunk loop never moves particle arrays through
+    the host (SURVEY.md §7 hard parts);
+  * COUNT-BASED slab cuts (C19): slab boundaries live on a global
+    cutoff-sized cell grid along the slab axis; ``rebalance_cuts`` picks
+    quantile cuts from a cheap global histogram (a [ncell_ax] array is the
+    only thing that ever reaches the host), and a changed cut is just a new
+    small integer array — no recompilation while every slab stays within
+    the planned ``res_max`` cells;
+  * DISTRIBUTED self-gravity: a ring all-pairs pass — each shard's
+    (pos, mass) block hops around the ring ``n_shards`` times via
+    ``ppermute`` while every shard accumulates partial accelerations, so
+    memory stays O(n_local) and the collectives ride ICI (C11 at scale);
+  * health counters: dropped ghosts/emigrants and window overflow are
+    psum'd and returned every step — the silent-truncation hazard flagged
+    by round 1's advisor (_pack_select capping) is now observable and
+    asserted on.
+
+Every per-shard quantity is shaped [n_local] with zero-mass padding rows
+parked in a trash band below the slab (>= one cutoff away from real
+particles, spread across transverse cells so no window segment overflows).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sphax.configs import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.integrate.timestep import local_dt
+from sphax.neighbors import window as win
+from sphax.neighbors.window import WindowSpec
+from sphax.physics import wengine
+from sphax.physics.eos import eos
+
+AXIS = "shards"
+
+
+@dataclasses.dataclass(frozen=True)
+class WSlabSpec:
+    """Static decomposition parameters (hashable; changing them recompiles).
+
+    The slab axis is divided into ``ncell_ax`` global cells of width
+    ``cell_ax`` (>= the window cutoff); cut positions are cell indices, so
+    rebalancing moves cuts without changing any static shape as long as no
+    slab exceeds ``res_max`` cells.
+    """
+
+    n_shards: int
+    n_local: int        # particle rows per shard incl. zero-mass padding
+    ghost_cap: int      # ghost buffer capacity per face
+    migrate_cap: int    # emigrant buffer capacity per face per migration
+    slab_axis: int
+    ncell_ax: int       # global slab-axis cell count
+    res_max: int        # max slab width (cells) any shard may own
+    margin_cells: int   # ghost margin in cells (margin >= window cutoff)
+    wspec: WindowSpec   # per-shard window spec over the local bin box
+    axis_name: str = AXIS
+
+    @property
+    def trash_cells(self) -> int:
+        """Bin-box cells below the slab reserved for padding rows."""
+        return 2 * self.margin_cells
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def equal_cuts(ncell_ax: int, n_shards: int) -> np.ndarray:
+    return np.round(np.linspace(0, ncell_ax, n_shards + 1)).astype(np.int32)
+
+
+def plan(domain: Domain, n: int, h_max: float, n_shards: int,
+         slab_axis: int = 0, cutoff_scale: float = 1.2,
+         margin_scale: float = 1.05, pad_factor: float = 1.35,
+         ghost_safety: float = 2.0, migrate_frac: float = 0.25,
+         balance_headroom: float = 1.6, seg_safety: float = 1.35,
+         tile: int = 128) -> WSlabSpec:
+    """Choose static decomposition parameters from problem scales."""
+    lo = np.asarray(domain.lo, np.float64)
+    hi = np.asarray(domain.hi, np.float64)
+    ext = hi - lo
+    dim = len(lo)
+    cutoff = 2.0 * float(h_max) * cutoff_scale
+    ncell_ax = max(int(np.floor(ext[slab_axis] / cutoff)), 1)
+    cell_ax = ext[slab_axis] / ncell_ax
+    margin_cells = max(int(np.ceil(margin_scale * cutoff / cell_ax)), 1)
+    width0 = ncell_ax / n_shards
+    if width0 < margin_cells:
+        raise ValueError(
+            f"slabs of ~{width0:.1f} cells are thinner than the ghost margin "
+            f"({margin_cells} cells); use fewer shards or smaller h")
+    res_max = min(int(np.ceil(width0 * balance_headroom)), ncell_ax)
+
+    # cell-granular cuts cannot split ncell_ax cells evenly: the widest
+    # initial slab owns ceil(ncell_ax/ns) cells, so a uniform distribution
+    # already concentrates that share on one shard before any clustering
+    max_share = max(1.0 / n_shards,
+                    np.ceil(ncell_ax / n_shards) / ncell_ax)
+    nl = int(np.ceil(n * max_share * pad_factor / 8.0) * 8)
+    frac = margin_cells * cell_ax / (ext[slab_axis] / n_shards)
+    G = int(np.ceil(n / n_shards * frac * ghost_safety / 8.0) * 8)
+    G = min(max(G, 16), nl)
+    M = max(int(np.ceil(nl * migrate_frac / 8.0) * 8), 64)
+
+    # per-shard local bin box: trash band + margin | <= res_max cells | margin
+    ext_local = ext.copy()
+    ext_local[slab_axis] = (2 * margin_cells + margin_cells + res_max
+                            + margin_cells) * cell_ax
+    per = domain.periodic_axes(dim)
+    local_dom = Domain(lo=jnp.zeros(dim, jnp.float64),
+                      hi=jnp.asarray(ext_local),
+                      periodic=tuple(False if d == slab_axis else per[d]
+                                     for d in range(dim)))
+    wspec = win.plan_windows(local_dom, h_max=h_max, n=nl + 2 * G, dim=dim,
+                             tile=tile, cutoff_scale=cutoff_scale,
+                             ghost_safety=ghost_safety,
+                             seg_safety=seg_safety)
+    return WSlabSpec(n_shards=n_shards, n_local=nl, ghost_cap=G,
+                     migrate_cap=M, slab_axis=slab_axis, ncell_ax=ncell_ax,
+                     res_max=res_max, margin_cells=margin_cells, wspec=wspec)
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers (traced; cuts is a [ns+1] int32 array)
+# ---------------------------------------------------------------------------
+
+
+def _geom(domain: Domain, spec: WSlabSpec, dtype):
+    ax = spec.slab_axis
+    glo = domain.lo[ax].astype(dtype)
+    ext_ax = (domain.hi[ax] - domain.lo[ax]).astype(dtype)
+    cell_ax = ext_ax / spec.ncell_ax
+    margin = spec.margin_cells * cell_ax
+    return ax, glo, ext_ax, cell_ax, margin
+
+
+def _local_domain(domain: Domain, spec: WSlabSpec, slab_lo, dtype):
+    """Per-shard bin box for the window build (trash band below the slab)."""
+    dim = domain.lo.shape[0]
+    ax, glo, ext_ax, cell_ax, margin = _geom(domain, spec, dtype)
+    lo_ax = slab_lo - (spec.trash_cells + spec.margin_cells) * cell_ax
+    hi_ax = lo_ax + (spec.trash_cells + 2 * spec.margin_cells
+                     + spec.res_max) * cell_ax
+    axmask = jnp.arange(dim) == ax
+    lo_v = jnp.where(axmask, lo_ax, domain.lo.astype(dtype))
+    hi_v = jnp.where(axmask, hi_ax, domain.hi.astype(dtype))
+    per = domain.periodic_axes(dim)
+    return Domain(lo=lo_v, hi=hi_v,
+                  periodic=tuple(False if d == ax else per[d]
+                                 for d in range(dim)))
+
+
+def _trash_pos(nrows, domain: Domain, spec: WSlabSpec, slab_lo, dtype,
+               salt: float = 0.61803398875):
+    """Deterministic parking spots in the trash band (traced)."""
+    dim = domain.lo.shape[0]
+    ax, glo, ext_ax, cell_ax, margin = _geom(domain, spec, dtype)
+    i = jnp.arange(nrows, dtype=dtype)
+    cols = []
+    for d in range(dim):
+        if d == ax:
+            # spread across the trash band's cells (strictly below the ghost
+            # margin band, >= one cutoff-sized cell of separation, so trash
+            # rows never join a real particle's candidate windows)
+            span = (spec.trash_cells - 1) * cell_ax
+            base = slab_lo - (spec.trash_cells + spec.margin_cells) * cell_ax
+            cols.append(base + span * jnp.mod(0.37 * i, 1.0))
+        else:
+            lo_d, hi_d = domain.lo[d].astype(dtype), domain.hi[d].astype(dtype)
+            cols.append(lo_d + (hi_d - lo_d)
+                        * jnp.mod(salt * (i + 1.0), 1.0))
+    return jnp.stack(cols, axis=-1)
+
+
+def _wrap_transverse(pos, domain: Domain, ax: int):
+    """Wrap the periodic TRANSVERSE axes only (the slab axis must stay
+    unwrapped within a chunk so slab locality survives the periodic seam;
+    transverse wrapping is exact for periodic axes and keeps drifted
+    positions inside the window build's bin box)."""
+    dim = pos.shape[1]
+    per = domain.periodic_axes(dim)
+    if not any(per[d] for d in range(dim) if d != ax):
+        return pos
+    wrapped = domain.lo + jnp.mod(pos - domain.lo, domain.extent)
+    mask = jnp.asarray([per[d] and d != ax for d in range(dim)])
+    return jnp.where(mask, wrapped, pos)
+
+
+def _pack_select(mask, G):
+    """Indices of up to G True entries (stable), their validity, and the
+    DROPPED count (entries beyond capacity — must be zero; psum'd out as a
+    health counter, round-1 advisor finding #1)."""
+    order = jnp.argsort(jnp.logical_not(mask))
+    take = order[:G]
+    valid = mask[take]
+    dropped = jnp.maximum(jnp.sum(mask) - G, 0)
+    return take, valid, dropped
+
+
+def _sel(f, take, valid, fill):
+    v = f[take]
+    m = valid.reshape((valid.shape[0],) + (1,) * (f.ndim - 1))
+    return jnp.where(m, v, jnp.asarray(fill, v.dtype))
+
+
+# ---------------------------------------------------------------------------
+# in-step derived pass (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _exchange_and_build(st: ParticleState, cuts, domain: Domain,
+                        spec: WSlabSpec):
+    """Phase-1 ghost exchange + per-shard window build (shared by the
+    derived pass and the wseg-measurement probe)."""
+    ns, G, ax = spec.n_shards, spec.ghost_cap, spec.slab_axis
+    dim = st.dim
+    dtype = st.pos.dtype
+    me = jax.lax.axis_index(AXIS)
+    _, glo, ext_ax, cell_ax, margin = _geom(domain, spec, dtype)
+    slab_lo = glo + cuts[me].astype(dtype) * cell_ax
+    slab_hi = glo + cuts[me + 1].astype(dtype) * cell_ax
+
+    periodic_ax = domain.periodic_axes(dim)[ax]
+    x = st.pos[:, ax]
+    real = st.mass > 0
+    mask_low = (x < slab_lo + margin) & real
+    mask_high = (x > slab_hi - margin) & real
+    take_lo, val_lo, drop_lo = _pack_select(mask_low, G)
+    take_hi, val_hi, drop_hi = _pack_select(mask_high, G)
+    dropped = drop_lo + drop_hi
+
+    perm_left = [(s, (s - 1) % ns) for s in range(ns)]
+    perm_right = [(s, (s + 1) % ns) for s in range(ns)]
+
+    def exchange(fields_fills, take, valid, perm):
+        packed = tuple(_sel(f, take, valid, fill) for f, fill in fields_fills)
+        return tuple(jax.lax.ppermute(p, AXIS, perm) for p in packed)
+
+    trash = _trash_pos(G, domain, spec, slab_lo, dtype)
+
+    # ---- phase 1: kinematics (gR = ghosts beyond our hi face) ----
+    ph1 = ((st.pos, 0.0), (st.vel, 0.0), (st.mass, 0.0))
+    gR_pos, gR_vel, gR_mass = exchange(ph1, take_lo, val_lo, perm_left)
+    gL_pos, gL_vel, gL_mass = exchange(ph1, take_hi, val_hi, perm_right)
+    shiftR = jnp.where(me == ns - 1, ext_ax, 0.0).astype(dtype)
+    shiftL = jnp.where(me == 0, -ext_ax, 0.0).astype(dtype)
+    gR_pos = gR_pos.at[:, ax].add(shiftR)
+    gL_pos = gL_pos.at[:, ax].add(shiftL)
+    if not periodic_ax:
+        gR_mass = jnp.where(me == ns - 1, 0.0, gR_mass)
+        gL_mass = jnp.where(me == 0, 0.0, gL_mass)
+    gR_pos = jnp.where((gR_mass > 0)[:, None], gR_pos, trash)
+    gL_pos = jnp.where((gL_mass > 0)[:, None], gL_pos, trash)
+
+    comb_pos = jnp.concatenate([st.pos, gL_pos, gR_pos])
+    comb_vel = jnp.concatenate([st.vel, gL_vel, gR_vel])
+    comb_mass = jnp.concatenate([st.mass, gL_mass, gR_mass])
+    comb_u = jnp.concatenate([st.u, jnp.zeros((2 * G,), dtype)])
+    comb_h = jnp.concatenate([st.h, jnp.ones((2 * G,), dtype)])
+
+    # ---- window structure over the local bin box ----
+    ldom = _local_domain(domain, spec, slab_lo, dtype)
+    # only LOCAL real rows define windows: slab-ghost rows' own outputs are
+    # discarded (phase 2 re-ships owner values), so letting them widen tiles
+    # near the dense face would only inflate/overflow wseg
+    wd = win.build(comb_pos, ldom, spec.wspec,
+                   active=jnp.concatenate([real, jnp.zeros((2 * G,), bool)]),
+                   image=comb_mass > 0)
+    return (wd, comb_pos, comb_vel, comb_mass, comb_u, comb_h, exchange,
+            (take_lo, val_lo, perm_left), (take_hi, val_hi, perm_right),
+            dropped)
+
+
+def _local_derived(st: ParticleState, cuts, cfg: SPHConfig, domain: Domain,
+                   spec: WSlabSpec, use_pallas: bool, tile_block: int):
+    """Window-engine derived pass for one shard with two-phase ghosts.
+
+    Returns (state, health) where health = (ghost_dropped, window_overflow).
+    """
+    G = spec.ghost_cap
+    nl = st.n
+    dim = st.dim
+    dtype = st.pos.dtype
+    wspec = spec.wspec
+    (wd, comb_pos, comb_vel, comb_mass, comb_u, comb_h, exchange,
+     ex_lo, ex_hi, dropped) = _exchange_and_build(st, cuts, domain, spec)
+    take_lo, val_lo, perm_left = ex_lo
+    take_hi, val_hi, perm_right = ex_hi
+    pos_s = wd.pos_s
+    cols = [comb_vel, comb_mass[:, None], comb_u[:, None], comb_h[:, None]]
+    if cfg.mm_visc:
+        cols.append(jnp.concatenate([st.alpha,
+                                     jnp.ones((2 * G,), dtype)])[:, None])
+    gat_s = win.gather_sorted(jnp.concatenate(cols, axis=-1), wd)
+    vel_s = gat_s[:, :dim]
+    mass_s = gat_s[:, dim]
+    u_s = gat_s[:, dim + 1]
+    h_s = jnp.where(mass_s > 0, gat_s[:, dim + 2], 1.0)
+    alpha_s = gat_s[:, dim + 3] if cfg.mm_visc else None
+
+    # ---- kernel A (+ Omega, viscosity factor); owner-valid on LOCAL rows ----
+    h_s, rho_s, om_s, bf_s, divv_s = wengine.stage_density(
+        wd, wspec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
+        use_pallas, alpha_s=alpha_s)
+    dsc = jnp.stack([h_s, rho_s, om_s, bf_s, divv_s],
+                    axis=-1)[wd.inv]                              # [nc, 5]
+    h_c, rho_c, om_c, bf_c, divv_c = (dsc[:, 0], dsc[:, 1], dsc[:, 2],
+                                      dsc[:, 3], dsc[:, 4])
+    P_c, cs_c = eos(rho_c, comb_u, cfg)
+
+    # ---- phase 2: owner-computed hydro for the SAME boundary sets ----
+    loc = lambda v: v[:nl]
+    ph2 = tuple((loc(v), fill) for v, fill in
+                ((h_c, 1.0), (rho_c, 1.0), (P_c, 0.0), (cs_c, 0.0),
+                 (om_c, 1.0), (bf_c, 0.0)))
+    gR2 = exchange(ph2, take_lo, val_lo, perm_left)
+    gL2 = exchange(ph2, take_hi, val_hi, perm_right)
+
+    def splice(c_arr, gl, gr):
+        return jnp.concatenate([c_arr[:nl], gl, gr])
+
+    hyd = jnp.stack([splice(c, l, r) for c, l, r in
+                     zip((h_c, rho_c, P_c, cs_c, om_c, bf_c), gL2, gR2)],
+                    axis=-1)                                      # [nc, 6]
+    hyd_s = win.gather_sorted(hyd, wd)    # re-sort: every sorted row (incl.
+    #                                       transverse images) gets owner vals
+    h_s2 = jnp.where(mass_s > 0, hyd_s[:, 0], 1.0)
+    rho_s2 = jnp.maximum(hyd_s[:, 1], 1e-15)
+    om_s2 = jnp.where(mass_s > 0, hyd_s[:, 4], 1.0)
+
+    # ---- kernel C with exact ghost j-fields ----
+    acc_s, du_s = wengine.stage_forces(
+        wd, wspec, cfg, pos_s, vel_s, mass_s, h_s2, rho_s2, hyd_s[:, 2],
+        hyd_s[:, 3], om_s2, hyd_s[:, 5], tile_block, use_pallas)
+
+    out = jnp.stack([du_s] + [acc_s[:, d] for d in range(dim)],
+                    axis=-1)[wd.inv]                              # [nc, 1+D]
+
+    st = st._replace(h=loc(h_c), rho=loc(rho_c), P=loc(P_c), cs=loc(cs_c),
+                     omega=loc(om_c), du_dt=loc(out[:, 0]),
+                     acc=out[:nl, 1:1 + dim], divv=loc(divv_c))
+    health = (jnp.asarray(dropped, jnp.int32),
+              wd.overflow.astype(jnp.int32))
+    return st, health
+
+
+def _gravity_ring(pos, mass, cuts, cfg: SPHConfig, domain: Domain,
+                  spec: WSlabSpec, use_pallas: bool):
+    """Distributed direct-sum gravity: (pos, mass) blocks hop the ring.
+
+    Each of the n_shards hops computes local-rows x visiting-block partial
+    accelerations; memory stays O(n_local) and each hop's ppermute rides
+    ICI. Open-boundary convention on non-periodic domains (Evrard); the
+    min-image convention on periodic ones mirrors clist.gravity_dense.
+    """
+    ns = spec.n_shards
+    perm_right = [(s, (s + 1) % ns) for s in range(ns)]
+    dim = pos.shape[1]
+    eps2 = jnp.asarray(float(cfg.grav_eps) ** 2, pos.dtype)
+
+    def partial_acc(p, bp, bm):
+        dx = p[:, None, :] - bp[None, :, :]
+        dx = domain.displacement(dx)
+        r2 = jnp.sum(dx * dx, axis=-1) + eps2
+        w = bm[None, :] * jax.lax.rsqrt(r2) / r2
+        return -jnp.sum(w[..., None] * dx, axis=1)
+
+    blk_p, blk_m = pos, mass
+    acc = jnp.zeros_like(pos)
+    for k in range(ns):
+        acc = acc + partial_acc(pos, blk_p, blk_m)
+        if k < ns - 1:
+            blk_p = jax.lax.ppermute(blk_p, AXIS, perm_right)
+            blk_m = jax.lax.ppermute(blk_m, AXIS, perm_right)
+    return float(cfg.G) * acc
+
+
+# ---------------------------------------------------------------------------
+# distributed step / chunk
+# ---------------------------------------------------------------------------
+
+
+def make_step(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
+              use_pallas: Optional[bool] = None, tile_block: int = 16):
+    """Jitted distributed KDK step: (state, cuts, domain) -> (state, dt,
+    health) where health = (ghost_dropped, window_overflow) global sums."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+
+    def local_step(st: ParticleState, cuts, domain: Domain):
+        dt = jax.lax.pmin(local_dt(st, cfg), AXIS)
+        half = 0.5 * dt
+        vel = st.vel + half * st.acc
+        u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+        pos = _wrap_transverse(st.pos + dt * vel, domain, spec.slab_axis)
+        st, health = _local_derived(
+            st._replace(pos=pos, vel=vel, u=u), cuts, cfg, domain, spec,
+            use_pallas, tile_block)
+        if cfg.gravity:
+            acc_g = _gravity_ring(st.pos, st.mass, cuts, cfg, domain, spec,
+                                  use_pallas)
+            st = st._replace(acc=st.acc + acc_g)
+        vel = st.vel + half * st.acc
+        u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+        st = st._replace(vel=vel, u=u)
+        if cfg.mm_visc:
+            from sphax.physics import pairs
+
+            st = st._replace(alpha=pairs.mm_alpha_update(
+                st.alpha, st.divv, st.h, st.cs, dt, cfg))
+        health = tuple(jax.lax.psum(hh, AXIS) for hh in health)
+        return st, dt, health
+
+    sm = jax.shard_map(local_step, mesh=mesh,
+                       in_specs=(P(AXIS), P(), P()),
+                       out_specs=(P(AXIS), P(), (P(), P())))
+    return jax.jit(sm)
+
+
+def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec, nsteps: int,
+               use_pallas: Optional[bool] = None, tile_block: int = 16):
+    """Jitted scan of ``nsteps`` distributed steps; health is max over
+    steps so one bad step cannot hide."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+
+    def local_chunk(st: ParticleState, cuts, domain: Domain):
+        def body(carry, _):
+            s, hmax = carry
+
+            dt = jax.lax.pmin(local_dt(s, cfg), AXIS)
+            half = 0.5 * dt
+            vel = s.vel + half * s.acc
+            u = jnp.maximum(s.u + half * s.du_dt, cfg.u_floor)
+            pos = _wrap_transverse(s.pos + dt * vel, domain, spec.slab_axis)
+            s, health = _local_derived(
+                s._replace(pos=pos, vel=vel, u=u), cuts, cfg, domain, spec,
+                use_pallas, tile_block)
+            if cfg.gravity:
+                acc_g = _gravity_ring(s.pos, s.mass, cuts, cfg, domain,
+                                      spec, use_pallas)
+                s = s._replace(acc=s.acc + acc_g)
+            vel = s.vel + half * s.acc
+            u = jnp.maximum(s.u + half * s.du_dt, cfg.u_floor)
+            s = s._replace(vel=vel, u=u)
+            if cfg.mm_visc:
+                from sphax.physics import pairs
+
+                s = s._replace(alpha=pairs.mm_alpha_update(
+                    s.alpha, s.divv, s.h, s.cs, dt, cfg))
+            hmax = tuple(jnp.maximum(a, b) for a, b in zip(hmax, health))
+            return (s, hmax), dt
+
+        zero = jax.lax.pvary(jnp.zeros((), jnp.int32), AXIS)
+        (st, hmax), dts = jax.lax.scan(body, (st, (zero, zero)), None,
+                                       length=nsteps)
+        hmax = tuple(jax.lax.psum(hh, AXIS) for hh in hmax)
+        return st, dts, hmax
+
+    sm = jax.shard_map(local_chunk, mesh=mesh,
+                       in_specs=(P(AXIS), P(), P()),
+                       out_specs=(P(AXIS), P(), (P(), P())))
+    return jax.jit(sm)
+
+
+# ---------------------------------------------------------------------------
+# on-device migration + count-based rebalancing (C15/C19)
+# ---------------------------------------------------------------------------
+
+
+def _pad_template(nl, domain: Domain, spec: WSlabSpec, slab_lo, dtype, dim):
+    pos = _trash_pos(nl, domain, spec, slab_lo, dtype, salt=0.7548776662)
+    z = jnp.zeros((nl,), dtype)
+    one = jnp.ones((nl,), dtype)
+    return ParticleState(pos=pos, vel=jnp.zeros((nl, dim), dtype), mass=z,
+                         u=z, h=one, rho=one, P=z, cs=z,
+                         acc=jnp.zeros((nl, dim), dtype), du_dt=z, omega=one,
+                         alpha=one, divv=z)
+
+
+def make_migrate(mesh: Mesh, spec: WSlabSpec):
+    """Jitted on-device migration: (state, cuts, domain) -> (state, dropped).
+
+    Positions are wrapped into the global box; particles whose slab changed
+    ride one face-neighbor ppermute (capacity ``migrate_cap`` per face —
+    overflow and farther-than-one-slab movers are counted in ``dropped``,
+    which the caller must assert zero; both are cadence-contract violations,
+    exactly like a Verlet-skin breach). Each shard then compacts locally:
+    survivors first, arrivals appended, padding re-templated. No particle
+    array ever touches the host (SURVEY.md §7 "migration ... without host
+    round-trips").
+    """
+    ns, M, ax = spec.n_shards, spec.migrate_cap, spec.slab_axis
+    perm_left = [(s, (s - 1) % ns) for s in range(ns)]
+    perm_right = [(s, (s + 1) % ns) for s in range(ns)]
+
+    def local_migrate(st: ParticleState, cuts, domain: Domain):
+        nl = st.n
+        dim = st.dim
+        dtype = st.pos.dtype
+        me = jax.lax.axis_index(AXIS)
+        _, glo, ext_ax, cell_ax, margin = _geom(domain, spec, dtype)
+        slab_lo = glo + cuts[me].astype(dtype) * cell_ax
+
+        pos = domain.wrap(st.pos)
+        st = st._replace(pos=pos)
+        cellf = jnp.clip(jnp.floor((pos[:, ax] - glo) / cell_ax), 0,
+                         spec.ncell_ax - 1).astype(jnp.int32)
+        t = jnp.searchsorted(cuts[1:ns], cellf, side="right").astype(jnp.int32)
+        real = st.mass > 0
+        stay = real & (t == me)
+        dl = jnp.mod(me - t, ns)
+        dr = jnp.mod(t - me, ns)
+        # movers hop ONE shard toward their target per migrate pass (the
+        # shorter ring direction), so after k passes every particle within
+        # k hops is home; make_misplaced tells the caller when to stop
+        go_l = real & ~stay & (dl <= dr)
+        go_r = real & ~stay & (dr < dl)
+
+        take_l, val_l, drop_l = _pack_select(go_l, M)
+        take_r, val_r, drop_r = _pack_select(go_r, M)
+
+        fields = [st.pos, st.vel, st.mass[:, None], st.u[:, None],
+                  st.h[:, None], st.rho[:, None], st.P[:, None],
+                  st.cs[:, None], st.acc, st.du_dt[:, None],
+                  st.omega[:, None], st.alpha[:, None], st.divv[:, None]]
+        packed = jnp.concatenate(fields, axis=-1)            # [nl, F]
+        F = packed.shape[1]
+        im = 2 * dim  # mass column
+
+        send_l = _sel(packed, take_l, val_l, 0.0)
+        send_r = _sel(packed, take_r, val_r, 0.0)
+        arr_from_r = jax.lax.ppermute(send_l, AXIS, perm_left)
+        arr_from_l = jax.lax.ppermute(send_r, AXIS, perm_right)
+        arrivals = jnp.concatenate([arr_from_l, arr_from_r])  # [2M, F]
+        va = arrivals[:, im] > 0
+
+        keep = stay
+        order = jnp.argsort(jnp.logical_not(keep))            # keeps first
+        kept = packed[order]
+        nk = jnp.sum(keep)
+
+        tmpl = _pad_template(nl, domain, spec, slab_lo, dtype, dim)
+        tfields = [tmpl.pos, tmpl.vel, tmpl.mass[:, None], tmpl.u[:, None],
+                   tmpl.h[:, None], tmpl.rho[:, None], tmpl.P[:, None],
+                   tmpl.cs[:, None], tmpl.acc, tmpl.du_dt[:, None],
+                   tmpl.omega[:, None], tmpl.alpha[:, None],
+                   tmpl.divv[:, None]]
+        tpacked = jnp.concatenate(tfields, axis=-1)
+        rows = jnp.arange(nl)
+        out = jnp.where((rows < nk)[:, None], kept, tpacked)
+
+        slot = nk + jnp.cumsum(va) - 1
+        dest = jnp.where(va & (slot < nl), slot, nl)
+        cap_drop = jnp.sum(va) - jnp.sum(dest < nl)
+        out = out.at[dest].set(
+            jnp.where(va[:, None], arrivals, 0.0), mode="drop")
+
+        dropped = (drop_l + drop_r + cap_drop).astype(jnp.int32)
+        dropped = jax.lax.psum(dropped, AXIS)
+
+        o = 0
+        def col(w):
+            nonlocal o
+            v = out[:, o:o + w]
+            o += w
+            return v if w > 1 else v[:, 0]
+        new = ParticleState(pos=col(dim), vel=col(dim), mass=col(1),
+                            u=col(1), h=col(1), rho=col(1), P=col(1),
+                            cs=col(1), acc=col(dim), du_dt=col(1),
+                            omega=col(1), alpha=col(1), divv=col(1))
+        return new, dropped
+
+    sm = jax.shard_map(local_migrate, mesh=mesh,
+                       in_specs=(P(AXIS), P(), P()),
+                       out_specs=(P(AXIS), P()))
+    return jax.jit(sm)
+
+
+def make_misplaced(mesh: Mesh, spec: WSlabSpec):
+    """Jitted counter of real particles not owned by their current shard
+    (the migrate stopping criterion; multi-hop movers need several passes)."""
+    ns, ax = spec.n_shards, spec.slab_axis
+
+    def local_count(st: ParticleState, cuts, domain: Domain):
+        dtype = st.pos.dtype
+        me = jax.lax.axis_index(AXIS)
+        _, glo, ext_ax, cell_ax, margin = _geom(domain, spec, dtype)
+        pos = domain.wrap(st.pos)
+        cellf = jnp.clip(jnp.floor((pos[:, ax] - glo) / cell_ax), 0,
+                         spec.ncell_ax - 1).astype(jnp.int32)
+        t = jnp.searchsorted(cuts[1:ns], cellf,
+                             side="right").astype(jnp.int32)
+        bad = jnp.sum(((st.mass > 0) & (t != me)).astype(jnp.int32))
+        return jax.lax.psum(bad, AXIS)
+
+    sm = jax.shard_map(local_count, mesh=mesh, in_specs=(P(AXIS), P(), P()),
+                       out_specs=P())
+    return jax.jit(sm)
+
+
+def make_histogram(mesh: Mesh, spec: WSlabSpec):
+    """Jitted global slab-axis cell histogram [ncell_ax] (the ONLY quantity
+    the rebalancer ever moves to the host)."""
+    ax = spec.slab_axis
+
+    def local_hist(st: ParticleState, domain: Domain):
+        dtype = st.pos.dtype
+        _, glo, ext_ax, cell_ax, margin = _geom(domain, spec, dtype)
+        pos = domain.wrap(st.pos)
+        cellf = jnp.clip(jnp.floor((pos[:, ax] - glo) / cell_ax), 0,
+                         spec.ncell_ax - 1).astype(jnp.int32)
+        w = (st.mass > 0).astype(jnp.int32)
+        h = jnp.zeros((spec.ncell_ax,), jnp.int32).at[cellf].add(w)
+        return jax.lax.psum(h, AXIS)
+
+    sm = jax.shard_map(local_hist, mesh=mesh, in_specs=(P(AXIS), P()),
+                       out_specs=P())
+    return jax.jit(sm)
+
+
+def make_max_run(mesh: Mesh, spec: WSlabSpec):
+    """Jitted probe: the largest aligned window length any shard's build
+    actually needs, plus the psum'd ghost-drop count. Feeds refine_wseg —
+    the distributed analogue of window.plan_measured (analytic wseg
+    estimates cannot be watertight for clustered flows)."""
+
+    def local_probe(st: ParticleState, cuts, domain: Domain):
+        out = _exchange_and_build(st, cuts, domain, spec)
+        wd, dropped = out[0], out[-1]
+        return (jax.lax.pmax(wd.max_run, AXIS),
+                jax.lax.psum(jnp.asarray(dropped, jnp.int32), AXIS))
+
+    sm = jax.shard_map(local_probe, mesh=mesh,
+                       in_specs=(P(AXIS), P(), P()),
+                       out_specs=(P(), P()))
+    return jax.jit(sm)
+
+
+def refine_wseg(spec: WSlabSpec, max_run: int,
+                headroom: float = 1.6) -> WSlabSpec:
+    """Resize the window segment width to the MEASURED requirement.
+
+    Call after distribute() with make_max_run's result (and again at replan
+    cadence if the overflow health counter ever fires): the returned spec
+    compiles fresh step functions with wseg = measured * headroom. The
+    default headroom is generous because short pencils (coarse per-shard
+    grids) make tile-union spans fluctuate strongly as particles drift —
+    and with w_nact block-skipping, oversizing wseg costs DMA bytes and
+    VMEM only, never pair math.
+    """
+    wspec = spec.wspec
+    wseg = max(int(np.ceil(int(max_run) * headroom / 128.0) * 128), 128)
+    quantum = int(np.lcm(wspec.tile, 128))
+    n_sorted = int(np.ceil(max(wspec.n_sorted, wseg) / quantum) * quantum)
+    if wseg == wspec.wseg and n_sorted == wspec.n_sorted:
+        return spec
+    wspec = dataclasses.replace(wspec, wseg=wseg, n_sorted=n_sorted)
+    return dataclasses.replace(spec, wspec=wspec)
+
+
+def rebalance_cuts(hist: np.ndarray, spec: WSlabSpec) -> np.ndarray:
+    """Quantile cuts from a global histogram (host-side, cell-granular).
+
+    Widths are clamped to [margin_cells, res_max]; if the distribution is so
+    skewed that the clamp binds everywhere, the cuts stay valid (monotone,
+    full cover) and balancing is best-effort within the planned envelope.
+    """
+    ns = spec.n_shards
+    nc = spec.ncell_ax
+    c = np.concatenate([[0], np.cumsum(np.asarray(hist, np.float64))])
+    total = c[-1]
+    cuts = np.zeros(ns + 1, np.int32)
+    cuts[ns] = nc
+    for s in range(1, ns):
+        target = total * s / ns
+        cuts[s] = int(np.searchsorted(c, target))
+    # enforce monotone widths within [margin_cells, res_max]
+    for s in range(1, ns + 1):
+        lo_b = cuts[s - 1] + spec.margin_cells if s < ns + 1 else 0
+        cuts[s] = max(cuts[s], cuts[s - 1] + spec.margin_cells)
+        cuts[s] = min(cuts[s], cuts[s - 1] + spec.res_max)
+    cuts[ns] = nc
+    for s in range(ns, 0, -1):   # backward pass: keep final coverage legal
+        cuts[s - 1] = max(cuts[s - 1], cuts[s] - spec.res_max)
+        cuts[s - 1] = min(cuts[s - 1], cuts[s] - spec.margin_cells)
+    cuts[0] = 0
+    if not np.all(np.diff(cuts) >= spec.margin_cells) or \
+       not np.all(np.diff(cuts) <= spec.res_max):
+        raise ValueError(
+            f"cannot cover {nc} cells with {ns} slabs of width in "
+            f"[{spec.margin_cells}, {spec.res_max}]; re-plan with more "
+            "balance_headroom")
+    return cuts
+
+
+# ---------------------------------------------------------------------------
+# host-side initial distribution / gather (setup and diagnostics only)
+# ---------------------------------------------------------------------------
+
+
+def distribute(state: ParticleState, domain: Domain, mesh: Mesh,
+               spec: WSlabSpec, cuts: np.ndarray) -> ParticleState:
+    """Shard a single-device state across the mesh (setup-time only)."""
+    ns, nl, ax = spec.n_shards, spec.n_local, spec.slab_axis
+    lo = np.asarray(domain.lo, np.float64)
+    ext = np.asarray(domain.hi, np.float64) - lo
+    cell_ax = ext[ax] / spec.ncell_ax
+    pos = np.asarray(state.pos)
+    dtype = pos.dtype
+    dim = pos.shape[1]
+    cellf = np.clip(((pos[:, ax] - lo[ax]) / cell_ax).astype(int), 0,
+                    spec.ncell_ax - 1)
+    sid = np.searchsorted(cuts[1:ns], cellf, side="right")
+
+    fields = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    out = {}
+    for f, v in fields.items():
+        out[f] = np.zeros((ns * nl,) + v.shape[1:], v.dtype)
+    for s in range(ns):
+        idx = np.nonzero(sid == s)[0]
+        if len(idx) > nl:
+            raise ValueError(
+                f"shard {s} holds {len(idx)} > n_local={nl} particles; "
+                "re-plan with a larger pad_factor")
+        base = s * nl
+        for f, v in fields.items():
+            out[f][base:base + len(idx)] = v[idx]
+        npad = nl - len(idx)
+        if npad:
+            slab_lo = lo[ax] + cuts[s] * cell_ax
+            tmpl = _pad_template(npad, domain, spec,
+                                 jnp.asarray(slab_lo, dtype), dtype, dim)
+            for f in fields:
+                out[f][base + len(idx):base + nl] = np.asarray(
+                    getattr(tmpl, f))
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    put = lambda v: jax.device_put(jnp.asarray(v), sharding)
+    return ParticleState(**{f: put(v) for f, v in out.items()})
+
+
+def gather_real(state_sharded: ParticleState) -> ParticleState:
+    """Pull the sharded state to host and drop padding (diagnostics only)."""
+    fields = {f: np.asarray(getattr(state_sharded, f))
+              for f in state_sharded._fields}
+    keep = fields["mass"] > 0
+    return ParticleState(**{f: jnp.asarray(v[keep])
+                            for f, v in fields.items()})

@@ -41,4 +41,12 @@ def step(state: ParticleState, cfg: SPHConfig, domain: Domain,
     state = derived_fn(state._replace(pos=pos, vel=vel, u=u))
     vel = state.vel + half * state.acc
     u = jnp.maximum(state.u + half * state.du_dt, cfg.u_floor)
-    return state._replace(vel=vel, u=u), dt
+    state = state._replace(vel=vel, u=u)
+    if cfg.mm_visc:
+        # Morris-Monaghan alpha(t): explicit Euler from the freshly derived
+        # div v (same placement as reference_cpu.step step 6)
+        from sphax.physics import pairs
+
+        state = state._replace(alpha=pairs.mm_alpha_update(
+            state.alpha, state.divv, state.h, state.cs, dt, cfg))
+    return state, dt

@@ -19,7 +19,7 @@ import numpy as np
 from sphax.core.state import ParticleState
 from sphax.physics.driving import DriveState
 
-SCHEMA = 1
+SCHEMA = 2  # v2: + ParticleState.divv (Morris-Monaghan source term)
 
 
 def save(path: str, state: ParticleState, t: float, step: int,

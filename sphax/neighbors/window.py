@@ -118,11 +118,16 @@ def plan_windows(domain: Domain, h_max: float, n: int, dim: int,
     n_ghost = 2 * sum(caps)
     n_raw = n + n_ghost
     if wseg <= 0:
-        # a tile's fast-axis run spans ~tile/occ + 2.2 cells of average
-        # occupancy occ = particles per interior cell (ghost bands track it);
-        # +128 absorbs the lane-alignment of window starts (Mosaic DMA)
+        # a tile's fast-axis run spans ~tile rows + ~2.2 cells of average
+        # occupancy occ (particles per interior cell; ghost bands track it).
+        # Tiles that CROSS a pencil boundary additionally span the boundary
+        # region: both pencils' edge cells plus the ghost-image cells between
+        # them, ~6 extra cells — and since some tile always crosses, wseg
+        # must budget the worst case, not the mean (plan_measured refines
+        # this down from the actual built structure). +128 absorbs the
+        # lane-alignment of window starts (Mosaic DMA).
         occ = n_raw / max(int(np.prod(res)), 1)
-        run_est = (tile + 2.2 * occ) * seg_safety
+        run_est = (tile + 8.5 * occ) * seg_safety
         wseg = int(np.ceil(max(run_est, 1.0) / 128.0) * 128) + 128
     wseg = min(wseg, int(np.ceil(n_raw / 128.0) * 128))
     quantum = int(np.lcm(tile, 128))
@@ -170,8 +175,24 @@ def _pack_offset(mask, orig_idx, cap, n):
     return buf[:cap], dropped
 
 
-def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
-    """Build the sorted pencil-window structure (one argsort)."""
+def build(pos, domain: Domain, spec: WindowSpec, active=None,
+          image=None) -> WindowData:
+    """Build the sorted pencil-window structure (one argsort).
+
+    ``active`` ([n] bool, optional): rows with active=False (e.g. padding or
+    slab-ghost rows in the distributed engine) are still sorted and still
+    appear in other rows' candidate windows, but they do not DEFINE windows
+    (their own outputs are garbage by contract) — without this, padding rows
+    parked in a trash band would widen/overflow tiles that contain them.
+
+    ``image`` ([n] bool, optional, defaults to ``active``): rows allowed to
+    spawn periodic ghost images. Distributed shards pass image = (mass > 0)
+    but active = local-reals-only: slab ghosts near a transverse face MUST
+    still be imaged (their images are real candidates for corner particles)
+    even though their own windows are irrelevant.
+    """
+    if image is None:
+        image = active
     n, dim = pos.shape
     dtype = pos.dtype
     lo = domain.lo.astype(dtype)
@@ -200,6 +221,9 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
         for sgn, m in ((1.0, cur_pos[:, d] < lo[d] + cut),
                        (-1.0, cur_pos[:, d] > lo[d] + ext[d] - cut)):
             m = m & (cur_orig < n)
+            if image is not None:
+                img_pad = jnp.concatenate([image, jnp.zeros((1,), bool)])
+                m = m & img_pad[jnp.minimum(cur_orig, n)]
             take, dropped = _pack_offset(m, rows_c, cap, nc)
             drops.append(dropped)
             tk = jnp.minimum(take, nc - 1)
@@ -224,8 +248,24 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
     valid = orig < n
 
     # ---- extended-grid row-major keys (last axis fastest) ----
+    # BINNING coordinates are clamped to the box on NON-periodic axes:
+    # particles that drift outside an open boundary would otherwise land in
+    # extended-grid edge cells, and a tile mixing such a row with interior
+    # rows unions into a pencil-spanning (overflowing) window. Clamping is
+    # EXACT: pair distances always use the true positions, an escapee
+    # within one cell of the face keeps every true neighbor in its clamped
+    # cell's +-1 pencils (cell >= cutoff), and one farther out has no
+    # in-box neighbors at all.
     res_i = jnp.asarray(spec.res, jnp.int32)
-    c = jnp.clip(jnp.floor((pos_e - lo) / cell).astype(jnp.int32) + 1,
+    per_ax = domain.periodic_axes(dim)
+    if not all(per_ax):
+        clampmask = jnp.asarray([not p for p in per_ax])
+        eps = jnp.asarray(1e-6, dtype) * ext
+        bin_pos = jnp.clip(pos_e, lo + 0 * ext, lo + ext - eps)
+        bin_pos = jnp.where(clampmask, bin_pos, pos_e)
+    else:
+        bin_pos = pos_e
+    c = jnp.clip(jnp.floor((bin_pos - lo) / cell).astype(jnp.int32) + 1,
                  0, res_i + 1)
     res_ext = tuple(r + 2 for r in spec.res)
     strides = np.concatenate([np.cumprod(res_ext[::-1])[-2::-1], [1]])
@@ -281,7 +321,11 @@ def build(pos, domain: Domain, spec: WindowSpec) -> WindowData:
     # inside the extended grid and neighbor-cell codes are pure integer
     # shifts of the row's own key.
     kt = key_s.reshape(nt, T)
-    rt = is_real.reshape(nt, T)
+    if active is None:
+        rt = is_real.reshape(nt, T)
+    else:
+        act_pad = jnp.concatenate([active, jnp.zeros((1,), bool)])
+        rt = (is_real & act_pad[jnp.minimum(g, n)]).reshape(nt, T)
     kmin_t = jnp.min(jnp.where(rt, kt, _BIG), axis=1)      # [nt]
     kmax_t = jnp.max(jnp.where(rt, kt, -1), axis=1)
     has_real = kmax_t >= 0
@@ -353,7 +397,7 @@ def plan_measured(pos, domain: Domain, h_max: float, dim: int,
 
     n = pos.shape[0]
     spec = plan_windows(domain, h_max, n, dim, **kw)
-    wd = build(pos, domain, spec)
+    wd = jax.jit(build, static_argnums=2)(pos, domain, spec)
     need = int(wd.max_run) * headroom
     wseg = max(int(np.ceil(need / 128.0) * 128), 128)
     wseg = min(wseg, int(np.ceil(spec.n_sorted / 128.0) * 128))

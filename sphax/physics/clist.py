@@ -115,8 +115,9 @@ def solve_h(cl, grid, domain, n, cell_block, pos_p, mass_p, h0_s,
     return jax.lax.fori_loop(0, cfg.newton_iters, it, h0_s)
 
 
-def balsara_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
-                 h_s, rho_s, cs_s, cfg: SPHConfig, bin_per=None):
+def divcurl_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
+                 h_s, rho_s, cfg: SPHConfig, bin_per=None):
+    """SPH div/curl gather estimators: returns (div v, |curl v|)."""
     dim = cfg.dim
 
     def kfn(gi, gj):
@@ -139,7 +140,8 @@ def balsara_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
     divv, curl_mag = _run_cell_pass(
         kfn, cl, grid, per, n, cell_block,
         (pos_p, vel_p, _sentinel_pad(h_s, 1.0)), (pos_p, vel_p, mass_p))
-    return pairs.balsara_factor(divv / rho_s, curl_mag / rho_s, cs_s, h_s)
+    rho_safe = jnp.maximum(rho_s, 1e-15)
+    return divv / rho_safe, curl_mag / rho_safe
 
 
 def force_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
@@ -149,10 +151,10 @@ def force_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
     h_p, rho_p = pad(h_s, 1.0), pad(rho_s, 1.0)
     P_p, cs_p = pad(P_s, 0.0), pad(cs_s, 0.0)
     om_p = pad(om_s, 1.0)
-    bf_p = pad(bf_s, 0.0) if cfg.balsara else None
+    bf_p = pad(bf_s, 0.0) if cfg.visc_factor_on else None
 
     def kfn(gi, gj):
-        if cfg.balsara:
+        if cfg.visc_factor_on:
             (pos_i, vel_i, h_i, rho_i, P_i, cs_i, om_i, bf_i) = gi
             (pos_j, vel_j, m_j, h_j, rho_j, P_j, cs_j, om_j, bf_j) = gj
         else:
@@ -166,14 +168,14 @@ def force_pass(cl, grid, domain, n, cell_block, pos_p, vel_p, mass_p,
         fcoef, du = pairs.force_terms(
             dx, r, dv, e(h_i), f(h_j), e(rho_i), f(rho_j), e(P_i), f(P_j),
             e(cs_i), f(cs_j), e(om_i), f(om_j), f(m_j), cfg,
-            bf_i=(e(bf_i) if cfg.balsara else None),
-            bf_j=(f(bf_j) if cfg.balsara else None))
+            bf_i=(e(bf_i) if cfg.visc_factor_on else None),
+            bf_j=(f(bf_j) if cfg.visc_factor_on else None))
         acc = -jnp.sum(fcoef[..., None] * dx, axis=-2)
         return acc, jnp.sum(du, -1)
 
     ifields = [pos_p, vel_p, h_p, rho_p, P_p, cs_p, om_p]
     jfields = [pos_p, vel_p, mass_p, h_p, rho_p, P_p, cs_p, om_p]
-    if cfg.balsara:
+    if cfg.visc_factor_on:
         ifields.append(bf_p)
         jfields.append(bf_p)
     per = domain.periodic if bin_per is None else bin_per
@@ -243,11 +245,20 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
     else:
         om_s = jnp.ones_like(rho_s)
     P_s, cs_s = eos(rho_s, u_s, cfg)
-    bf_s = (balsara_pass(cl, grid, domain, n, cell_block, pos_p, vel_p,
-                         mass_p, h_s, rho_s, cs_s, cfg)
-            if cfg.balsara else jnp.ones_like(rho_s))
+    bf_s = None
+    if cfg.need_divv:
+        divv_s, curl_s = divcurl_pass(cl, grid, domain, n, cell_block, pos_p,
+                                      vel_p, mass_p, h_s, rho_s, cfg)
+        if cfg.balsara:
+            bf_s = pairs.balsara_factor(divv_s, curl_s, cs_s, h_s)
+    else:
+        divv_s = jnp.zeros_like(rho_s)
+    vf_s = pairs.visc_factor(cfg, bf=bf_s, alpha=(state.alpha[perm]
+                                                  if cfg.mm_visc else None))
+    if vf_s is None:
+        vf_s = jnp.ones_like(rho_s)
     acc_s, du_s = force_pass(cl, grid, domain, n, cell_block, pos_p, vel_p,
-                             mass_p, h_s, rho_s, P_s, cs_s, om_s, bf_s, cfg)
+                             mass_p, h_s, rho_s, P_s, cs_s, om_s, vf_s, cfg)
     if cfg.gravity:
         acc_s = acc_s + gravity_dense(pos_s, mass_s, cfg, domain)
 
@@ -257,7 +268,8 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
 
     return state._replace(
         h=unsort(h_s), rho=unsort(rho_s), P=unsort(P_s), cs=unsort(cs_s),
-        acc=unsort(acc_s), du_dt=unsort(du_s), omega=unsort(om_s))
+        acc=unsort(acc_s), du_dt=unsort(du_s), omega=unsort(om_s),
+        divv=unsort(divv_s))
 
 
 @partial(jax.jit, static_argnames=("grid",))

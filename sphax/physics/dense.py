@@ -102,8 +102,9 @@ def solve_h(pos, mass, h0, cfg: SPHConfig, domain: Domain, block: int):
 # ---------------------------------------------------------------------------
 
 
-def balsara_pass(pos, vel, mass, h, rho, cs, cfg: SPHConfig, domain: Domain,
+def divcurl_pass(pos, vel, mass, h, rho, cfg: SPHConfig, domain: Domain,
                  block: int):
+    """SPH div/curl gather estimators: returns (div v, |curl v|) per row."""
     dim = cfg.dim
 
     def body(args):
@@ -123,7 +124,7 @@ def balsara_pass(pos, vel, mass, h, rho, cs, cfg: SPHConfig, domain: Domain,
         return divv, curl_mag
 
     divv, curl_mag = _blocked(body, [pos, vel, h], block)
-    return pairs.balsara_factor(divv / rho, curl_mag / rho, cs, h)
+    return divv / rho, curl_mag / rho
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +134,8 @@ def balsara_pass(pos, vel, mass, h, rho, cs, cfg: SPHConfig, domain: Domain,
 
 def force_pass(pos, vel, mass, h, rho, P, cs, omega, bf, cfg: SPHConfig,
                domain: Domain, block: int):
+    use_vf = bf is not None
+
     def body(args):
         pos_i, vel_i, h_i, rho_i, P_i, cs_i, om_i, bf_i = args
         dx, r = _geom(pos_i, pos, domain)
@@ -145,8 +148,8 @@ def force_pass(pos, vel, mass, h, rho, P, cs, omega, bf, cfg: SPHConfig,
             cs_i[:, None], cs[None, :],
             om_i[:, None], omega[None, :],
             mass[None, :], cfg,
-            bf_i=(bf_i[:, None] if cfg.balsara else None),
-            bf_j=(bf[None, :] if cfg.balsara else None),
+            bf_i=(bf_i[:, None] if use_vf else None),
+            bf_j=(bf[None, :] if use_vf else None),
         )
         if cfg.gravity:
             fcoef = fcoef + pairs.gravity_terms(dx, r, mass[None, :], cfg)
@@ -187,9 +190,14 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
     else:
         omega = jnp.ones_like(rho)
     P, cs = eos(rho, u, cfg)
-    bf = (balsara_pass(pos, vel, mass, h, rho, cs, cfg, domain, block)
-          if cfg.balsara else None)
-    acc, du = force_pass(pos, vel, mass, h, rho, P, cs, omega, bf, cfg,
+    if cfg.need_divv:
+        divv, curl = divcurl_pass(pos, vel, mass, h, rho, cfg, domain, block)
+        bf = (pairs.balsara_factor(divv, curl, cs, h)
+              if cfg.balsara else None)
+    else:
+        divv, bf = jnp.zeros_like(rho), None
+    vf = pairs.visc_factor(cfg, bf=bf, alpha=state.alpha)
+    acc, du = force_pass(pos, vel, mass, h, rho, P, cs, omega, vf, cfg,
                          domain, block)
     return state._replace(h=h, rho=rho, P=P, cs=cs, acc=acc, du_dt=du,
-                          omega=omega)
+                          omega=omega, divv=divv)

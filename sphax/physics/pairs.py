@@ -100,6 +100,40 @@ def balsara_factor(divv, curl_mag, cs, h):
     return jnp.abs(divv) / (jnp.abs(divv) + curl_mag + 1e-4 * cs / h + 1e-30)
 
 
+def visc_factor(cfg: SPHConfig, bf=None, alpha=None):
+    """Combine the per-particle viscosity multipliers into ONE pair channel.
+
+    force_terms applies 0.5 (vf_i + vf_j) to Pi_ij; with the standard
+    beta = 2 alpha convention the Morris-Monaghan alpha IS such a multiplier
+    (Pi proportional to alpha when beta/alpha is fixed), so both switches
+    share the channel: vf = balsara_f * alpha(t).
+    """
+    vf = None
+    if cfg.balsara:
+        vf = bf
+    if cfg.mm_visc:
+        vf = alpha if vf is None else vf * alpha
+    return vf
+
+
+def mm_alpha_update(alpha, divv, h, cs, dt, cfg: SPHConfig):
+    """One explicit-Euler step of the Morris-Monaghan (1997) alpha equation:
+
+        d alpha/dt = S - (alpha - alpha_min) / tau
+        S   = max(-div v, 0) * (alpha_max - alpha)
+        tau = h / (sigma * c)
+
+    clipped to [alpha_min, alpha_max]. Called by the integrator AFTER the
+    closing half-kick, using the step's dt and the freshly derived divv
+    (same convention in reference_cpu.step).
+    """
+    src = jnp.maximum(-divv, 0.0) * (cfg.mm_alpha_max - alpha)
+    decay = (alpha - cfg.mm_alpha_min) * (cfg.mm_sigma * cs
+                                          / jnp.maximum(h, 1e-30))
+    return jnp.clip(alpha + dt * (src - decay), cfg.mm_alpha_min,
+                    cfg.mm_alpha_max)
+
+
 def gravity_terms(dx, r, m_j, cfg: SPHConfig):
     """Per-pair softened gravity: acc_i = -G sum_j gcoef * dx."""
     inv = (r * r + cfg.grav_eps**2) ** (-1.5)

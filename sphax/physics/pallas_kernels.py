@@ -240,7 +240,7 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     iters = cfg.newton_iters if cfg.adaptive_h else 0
     eta_d = float(cfg.eta) ** dim
     hcap = 0.5 * float(spec.cutoff)
-    fuse_bals = bool(cfg.balsara) and vel_s is not None
+    fuse_bals = bool(cfg.need_divv) and vel_s is not None
     sig = float(K.sigma(dim))
     tiny = 1e-30 if dtype == jnp.float32 else 1e-300
     ncurl = {1: 0, 2: 1, 3: 3}[dim] if fuse_bals else 0
@@ -474,7 +474,8 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
-    use_bf = bool(cfg.balsara)
+    use_bf = bool(cfg.visc_factor_on)
+    fast = bool(cfg.fast_math) and not _interpret()
     alpha, beta, epsv = (float(cfg.alpha_visc), float(cfg.beta_visc),
                          float(cfg.eps_visc))
     sig = float(K.sigma(dim))
@@ -555,11 +556,19 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
 
                     vdotr = sum(dv[d] * dx[d] for d in range(dim))
                     hbar = 0.5 * (h_i + h_j)
-                    mu = hbar * vdotr / (r2 + epsv * hbar * hbar)
+                    mu_den = r2 + epsv * hbar * hbar
+                    if fast:
+                        mu = hbar * vdotr * pl.reciprocal(mu_den, approx=True)
+                    else:
+                        mu = hbar * vdotr / mu_den
                     mu = jnp.where(vdotr < 0.0, mu, 0.0)
                     cbar = 0.5 * (cs_i + cs_j)
                     rhobar = 0.5 * (rho_i + rho_j)
-                    Pi = (beta * mu - alpha * cbar) * mu / rhobar
+                    if fast:
+                        Pi = ((beta * mu - alpha * cbar) * mu
+                              * pl.reciprocal(rhobar, approx=True))
+                    else:
+                        Pi = (beta * mu - alpha * cbar) * mu / rhobar
                     if use_bf:
                         Pi = Pi * (0.5 * (bf_i + bf_j))
 

@@ -139,8 +139,9 @@ def solve_h(wd, spec, pos_s, mass_s, h0_s, cfg: SPHConfig, tile_block):
     return jax.lax.fori_loop(0, cfg.newton_iters, it, h0_s)
 
 
-def balsara_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, cs_s, cfg,
+def divcurl_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, cfg,
                  tile_block):
+    """SPH div/curl gather estimators per sorted row (jnp tile pass)."""
     dim = cfg.dim
 
     def kfn(own, winf):
@@ -163,14 +164,13 @@ def balsara_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, cs_s, cfg,
                                 (pos_s, vel_s, mass_s), tile_block,
                                 mass_axis=2)
     rho_safe = jnp.maximum(rho_s, 1e-15)
-    return pairs.balsara_factor(divv / rho_safe, curl_mag / rho_safe, cs_s,
-                                h_s)
+    return divv / rho_safe, curl_mag / rho_safe
 
 
 def force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s,
                bf_s, cfg: SPHConfig, tile_block):
     def kfn(own, winf):
-        if cfg.balsara:
+        if cfg.visc_factor_on:
             (pos_i, vel_i, h_i, rho_i, P_i, cs_i, om_i, bf_i) = own
             (pos_j, vel_j, m_j, h_j, rho_j, P_j, cs_j, om_j, bf_j) = winf
         else:
@@ -184,14 +184,14 @@ def force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s,
         fcoef, du = pairs.force_terms(
             dx, r, dv, e(h_i), f(h_j), e(rho_i), f(rho_j), e(P_i), f(P_j),
             e(cs_i), f(cs_j), e(om_i), f(om_j), f(m_j), cfg,
-            bf_i=(e(bf_i) if cfg.balsara else None),
-            bf_j=(f(bf_j) if cfg.balsara else None))
+            bf_i=(e(bf_i) if cfg.visc_factor_on else None),
+            bf_j=(f(bf_j) if cfg.visc_factor_on else None))
         acc = -jnp.sum(fcoef[..., None] * dx, axis=-2)
         return acc, jnp.sum(du, -1)
 
     ofields = [pos_s, vel_s, h_s, rho_s, P_s, cs_s, om_s]
     wfields = [pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s]
-    if cfg.balsara:
+    if cfg.visc_factor_on:
         ofields.append(bf_s)
         wfields.append(bf_s)
     return _tile_pass(kfn, wd, spec, tuple(ofields), tuple(wfields),
@@ -201,6 +201,74 @@ def force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s,
 # ---------------------------------------------------------------------------
 # full derived pass
 # ---------------------------------------------------------------------------
+
+
+def stage_density(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
+                  u_s, h_s, tile_block: int = 16, use_pallas: bool = False,
+                  alpha_s=None):
+    """Density stage: Newton-h + density + Omega + viscosity factor.
+
+    Returns (h, rho, om, vf, divv) in SORTED order, valid on OWNER rows only
+    (ghost rows ran on junk windows) — the caller fixes ghosts with one
+    packed mirror gather (single device) or a phase-2 exchange + re-gather
+    (distributed slab engine, sphax/dist/wslab.py). ``vf`` is the combined
+    per-particle viscosity multiplier (Balsara and/or Morris-Monaghan
+    alpha(t), see pairs.visc_factor); ``divv`` the SPH div-v estimate (zeros
+    unless cfg.need_divv).
+    """
+    if use_pallas:
+        from sphax.physics import pallas_kernels as pk
+
+        if cfg.need_divv:
+            (h_s, rho_s, drho_dh, div_sum,
+             curl_sum) = pk.solve_h_density(wd, spec, pos_s, mass_s, h_s,
+                                            cfg, vel_s=vel_s, u_s=u_s)
+        else:
+            h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s,
+                                                     mass_s, h_s, cfg)
+    else:
+        if cfg.adaptive_h:
+            h_s = solve_h(wd, spec, pos_s, mass_s, h_s, cfg, tile_block)
+        rho_s, drho_dh = density_pass(wd, spec, pos_s, mass_s, h_s, cfg.dim,
+                                      tile_block)
+    rho_s = jnp.maximum(rho_s, 1e-15)
+    if cfg.grad_h:
+        om_s = 1.0 + h_s / (cfg.dim * rho_s) * drho_dh
+    else:
+        om_s = jnp.ones_like(rho_s)
+    bf_s = None
+    if cfg.need_divv:
+        if use_pallas:
+            # div/curl sums came fused out of kernel A (windows reused)
+            divv_s = -div_sum / rho_s
+            curl_s = curl_sum / rho_s
+        else:
+            divv_s, curl_s = divcurl_pass(wd, spec, pos_s, vel_s, mass_s,
+                                          h_s, rho_s, cfg, tile_block)
+        if cfg.balsara:
+            _, cs_pre = eos(rho_s, u_s, cfg)
+            bf_s = pairs.balsara_factor(divv_s, curl_s, cs_pre, h_s)
+    else:
+        divv_s = jnp.zeros_like(rho_s)
+    vf_s = pairs.visc_factor(cfg, bf=bf_s, alpha=alpha_s)
+    if vf_s is None:
+        vf_s = jnp.ones_like(rho_s)
+    return h_s, rho_s, om_s, vf_s, divv_s
+
+
+def stage_forces(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
+                 h_s, rho_s, P_s, cs_s, om_s, bf_s, tile_block: int = 16,
+                 use_pallas: bool = False):
+    """Force stage: symmetrized pressure + viscosity + du/dt (sorted order).
+
+    All j-side inputs must already be owner-correct on every sorted row."""
+    if use_pallas:
+        from sphax.physics import pallas_kernels as pk
+
+        return pk.forces(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
+                         P_s, cs_s, om_s, bf_s, cfg)
+    return force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
+                      P_s, cs_s, om_s, bf_s, cfg, tile_block)
 
 
 def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
@@ -221,50 +289,21 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
     u_s = win.gather_sorted(state.u, wd)
     h_s = win.gather_sorted(state.h, wd, fill=1.0)
 
-    if use_pallas:
-        from sphax.physics import pallas_kernels as pk
-
-        if cfg.balsara:
-            (h_s, rho_s, drho_dh, div_sum,
-             curl_sum) = pk.solve_h_density(wd, spec, pos_s, mass_s, h_s,
-                                            cfg, vel_s=vel_s, u_s=u_s)
-        else:
-            h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s,
-                                                     mass_s, h_s, cfg)
-    else:
-        if cfg.adaptive_h:
-            h_s = solve_h(wd, spec, pos_s, mass_s, h_s, cfg, tile_block)
-        rho_s, drho_dh = density_pass(wd, spec, pos_s, mass_s, h_s, cfg.dim,
-                                      tile_block)
-    # Everything below is valid on OWNER rows only (ghost rows ran on junk
-    # windows); one PACKED owner-mirror gather fixes all four window-shipped
-    # scalars at once — per-field gathers were ~25% of step time at N=1e6.
-    rho_s = jnp.maximum(rho_s, 1e-15)
-    if cfg.grad_h:
-        om_s = 1.0 + h_s / (cfg.dim * rho_s) * drho_dh
-    else:
-        om_s = jnp.ones_like(rho_s)
-    if cfg.balsara:
-        _, cs_pre = eos(rho_s, u_s, cfg)
-        if use_pallas:
-            # div/curl sums came fused out of kernel A (windows reused)
-            bf_s = pairs.balsara_factor(-div_sum / rho_s,
-                                        curl_sum / rho_s, cs_pre, h_s)
-        else:
-            bf_s = balsara_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
-                                cs_pre, cfg, tile_block)
-    else:
-        bf_s = jnp.ones_like(rho_s)
+    alpha_s = (win.gather_sorted(state.alpha, wd, fill=1.0)
+               if cfg.mm_visc else None)
+    h_s, rho_s, om_s, bf_s, divv_s = stage_density(
+        wd, spec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
+        use_pallas, alpha_s=alpha_s)
+    # one PACKED owner-mirror gather fixes all four window-shipped scalars
+    # at once — per-field gathers were ~25% of step time at N=1e6 (divv is
+    # only consumed per-OWNER-row, so it skips the mirror)
     mirrored = jnp.stack([h_s, rho_s, om_s, bf_s], axis=-1)[wd.src]
     h_s, rho_s, om_s, bf_s = (mirrored[:, 0], mirrored[:, 1], mirrored[:, 2],
                               mirrored[:, 3])
     P_s, cs_s = eos(rho_s, u_s, cfg)
-    if use_pallas:
-        acc_s, du_s = pk.forces(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
-                                P_s, cs_s, om_s, bf_s, cfg)
-    else:
-        acc_s, du_s = force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
-                                 P_s, cs_s, om_s, bf_s, cfg, tile_block)
+    acc_s, du_s = stage_forces(wd, spec, cfg, pos_s, vel_s, mass_s, h_s,
+                               rho_s, P_s, cs_s, om_s, bf_s, tile_block,
+                               use_pallas)
 
     if cfg.gravity:
         # the Pallas kernel uses the open-boundary convention (no min-image);
@@ -272,6 +311,8 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
         # engine paths agree (true periodic gravity needs Ewald sums — out of
         # scope, documented in NEXT.md)
         if use_pallas and not any(domain.periodic_axes(state.dim)):
+            from sphax.physics import pallas_kernels as pk
+
             acc_g = pk.gravity(state.pos, state.mass, cfg)
         else:
             from sphax.physics.clist import gravity_dense
@@ -280,15 +321,15 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
         acc_g = None
 
     # one packed unsort gather (inverse permutation) for all outputs
-    cols = [h_s, rho_s, P_s, cs_s, om_s, du_s] + [acc_s[:, d]
-                                                  for d in range(state.dim)]
+    cols = [h_s, rho_s, P_s, cs_s, om_s, du_s, divv_s] + [
+        acc_s[:, d] for d in range(state.dim)]
     out = jnp.stack(cols, axis=-1)[wd.inv]
-    acc = out[:, 6:6 + state.dim]
+    acc = out[:, 7:7 + state.dim]
     if acc_g is not None:
         acc = acc + acc_g
     return state._replace(h=out[:, 0], rho=out[:, 1], P=out[:, 2],
                           cs=out[:, 3], omega=out[:, 4], acc=acc,
-                          du_dt=out[:, 5])
+                          du_dt=out[:, 5], divv=out[:, 6])
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "tile_block", "use_pallas"))

@@ -47,6 +47,29 @@ def _window_engine(st, cfg, dom, h_margin=1.3, cutoff_scale=1.25):
     return eng, spec
 
 
+def _auto_engine(st, cfg, dom, h_margin=1.3, cutoff_scale=1.25):
+    """Fastest VALID engine for this geometry and backend.
+
+    On TPU the Pallas window engine wins wherever the geometry permits
+    (box >= 2 cells per axis at the planned cutoff). On CPU (the test tier)
+    the jnp window pass is slower than dense/clist at gate-test sizes, so:
+    dense below ~3k particles (exact, trivially fastest), cell list above.
+    Falls back in the same order when the window planner rejects the box.
+    """
+    if jax.default_backend() != "cpu":
+        try:
+            return _window_engine(st, cfg, dom, h_margin, cutoff_scale)
+        except ValueError:
+            pass  # box too small/thin for the window grid
+    if st.n > 3000:
+        from sphax.neighbors.cell_list import choose_grid
+        from sphax.physics import clist
+
+        grid = choose_grid(dom, h_max=float(st.h.max()) * h_margin, n=st.n)
+        return (lambda s: clist.update_derived(s, cfg, dom, grid)), None
+    return (lambda s: dense.update_derived(s, cfg, dom)), None
+
+
 def sod(n: int = 32, dtype=jnp.float32, **kw) -> Problem:
     from sphax.ics import sod as ics
     ic = ics.build(nx_left=int(n), n_trans=max(4, int(n) // 4))
@@ -54,8 +77,8 @@ def sod(n: int = 32, dtype=jnp.float32, **kw) -> Problem:
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
-    eng = lambda s: dense.update_derived(s, cfg, dom)  # thin box: dense
-    return Problem("sod", eng(st), cfg, dom, eng, t_end=0.1)
+    eng, spec = _auto_engine(st, cfg, dom)
+    return Problem("sod", eng(st), cfg, dom, eng, t_end=0.1, wspec=spec)
 
 
 def sedov(n: int = 20, dtype=jnp.float32, **kw) -> Problem:
@@ -65,12 +88,8 @@ def sedov(n: int = 20, dtype=jnp.float32, **kw) -> Problem:
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
-    if int(n) >= 32:
-        # blast centre evacuates -> h grows ~1.6x; margin 1.5 covers it while
-        # keeping the window grid fine enough for the Pallas VMEM budget
-        eng, spec = _window_engine(st, cfg, dom, h_margin=1.5)
-    else:
-        eng, spec = (lambda s: dense.update_derived(s, cfg, dom)), None
+    # blast centre evacuates -> h grows ~1.6x; margin 1.5 covers it
+    eng, spec = _auto_engine(st, cfg, dom, h_margin=1.5)
     return Problem("sedov", eng(st), cfg, dom, eng, t_end=0.06, wspec=spec)
 
 
@@ -81,8 +100,8 @@ def kh(n: int = 64, dtype=jnp.float32, **kw) -> Problem:
     dom = sphax.box(jnp.zeros(2, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
-    eng = lambda s: dense.update_derived(s, cfg, dom)
-    return Problem("kh", eng(st), cfg, dom, eng, t_end=1.0)
+    eng, spec = _auto_engine(st, cfg, dom)
+    return Problem("kh", eng(st), cfg, dom, eng, t_end=1.0, wspec=spec)
 
 
 def evrard(n: int = 4096, dtype=jnp.float32, **kw) -> Problem:
@@ -93,7 +112,11 @@ def evrard(n: int = 4096, dtype=jnp.float32, **kw) -> Problem:
                        periodic=False)
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
-    eng = lambda s: dense.update_derived(s, cfg, dom)  # gravity: direct sum
+    # dense stays the right engine here: self-gravity is all-pairs anyway,
+    # and the collapsed sphere sits in a near-vacuum open box where the
+    # window engine's structural h-cap (h <= cutoff/2) would alter the
+    # envelope physics (see tests/parity test_open_boundary)
+    eng = lambda s: dense.update_derived(s, cfg, dom)
     return Problem("evrard", eng(st), cfg, dom, eng, t_end=0.8)
 
 

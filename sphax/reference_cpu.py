@@ -194,11 +194,8 @@ def forces(pos, vel, mass, h, rho, P, cs, omega, cfg: SPHConfig, box=None,
     return acc, du
 
 
-def balsara_switch(pos, vel, mass, h, rho, cs, dim, box=None):
-    """Balsara (1995) limiter f_i = |div v| / (|div v| + |curl v| + 1e-4 c/h).
-
-    div/curl estimated with the standard SPH gather estimators using gradW(h_i).
-    """
+def div_curl(pos, vel, mass, h, rho, dim, box=None):
+    """Standard SPH gather estimators (div v, |curl v|) using gradW(h_i)."""
     dx, r = _pair_disp(pos, box)
     dv = vel[:, None, :] - vel[None, :, :]
     g = kernel_gradW_over_r(r, h[:, None], dim)
@@ -221,6 +218,12 @@ def balsara_switch(pos, vel, mass, h, rho, cs, dim, box=None):
         curl_mag = np.abs(np.einsum("ij,ij->i", mw, cz)) / rho
     else:
         curl_mag = np.zeros_like(rho)
+    return divv, curl_mag
+
+
+def balsara_switch(pos, vel, mass, h, rho, cs, dim, box=None):
+    """Balsara (1995) limiter f_i = |div v| / (|div v| + |curl v| + 1e-4 c/h)."""
+    divv, curl_mag = div_curl(pos, vel, mass, h, rho, dim, box)
     return np.abs(divv) / (np.abs(divv) + curl_mag + 1e-4 * cs / h)
 
 
@@ -238,8 +241,14 @@ def gravity(pos, mass, cfg: SPHConfig, box=None):
 # ---------------------------------------------------------------------------
 
 
-def update_derived(pos, vel, mass, u, h, cfg: SPHConfig, box=None):
-    """density (+h solve) -> EOS -> forces (+gravity). Returns dict."""
+def update_derived(pos, vel, mass, u, h, cfg: SPHConfig, box=None,
+                   alpha=None):
+    """density (+h solve) -> EOS -> forces (+gravity). Returns dict.
+
+    ``alpha``: per-particle Morris-Monaghan alpha(t) (used when cfg.mm_visc;
+    it multiplies Pi_ij through the same channel as the Balsara factor —
+    see SPHConfig.mm_visc for why that is exact under beta = 2 alpha).
+    """
     dim = cfg.dim
     if cfg.adaptive_h:
         h = solve_h(pos, mass, h, cfg, box)
@@ -249,11 +258,22 @@ def update_derived(pos, vel, mass, u, h, cfg: SPHConfig, box=None):
         rho = density(pos, mass, h, dim, box)
         omega = np.ones_like(rho)
     P, cs = eos(rho, u, cfg)
-    bf = balsara_switch(pos, vel, mass, h, rho, cs, dim, box) if cfg.balsara else None
-    acc, du = forces(pos, vel, mass, h, rho, P, cs, omega, cfg, box, balsara_f=bf)
+    if cfg.need_divv:
+        divv, curl_mag = div_curl(pos, vel, mass, h, rho, dim, box)
+    else:
+        divv = np.zeros_like(rho)
+    vf = None
+    if cfg.balsara:
+        vf = np.abs(divv) / (np.abs(divv) + curl_mag + 1e-4 * cs / h)
+    if cfg.mm_visc:
+        a = np.ones_like(rho) if alpha is None else np.asarray(alpha)
+        vf = a if vf is None else vf * a
+    acc, du = forces(pos, vel, mass, h, rho, P, cs, omega, cfg, box,
+                     balsara_f=vf)
     if cfg.gravity:
         acc = acc + gravity(pos, mass, cfg, box)
-    return dict(h=h, rho=rho, omega=omega, P=P, cs=cs, acc=acc, du_dt=du)
+    return dict(h=h, rho=rho, omega=omega, P=P, cs=cs, acc=acc, du_dt=du,
+                divv=divv)
 
 
 def timestep(h, cs, acc, vel, cfg: SPHConfig):
@@ -265,7 +285,8 @@ def timestep(h, cs, acc, vel, cfg: SPHConfig):
     return min(float(np.min(dt_cfl)), float(np.min(dt_f)), cfg.dt_max)
 
 
-def step(pos, vel, mass, u, h, der, cfg: SPHConfig, box=None, dt=None):
+def step(pos, vel, mass, u, h, der, cfg: SPHConfig, box=None, dt=None,
+         alpha=None):
     """One leapfrog KDK step; ``der`` is the dict from update_derived.
 
     Sequence (frozen; the jnp/Pallas engines replicate this EXACTLY):
@@ -274,7 +295,9 @@ def step(pos, vel, mass, u, h, der, cfg: SPHConfig, box=None, dt=None):
       3. drift:      x += v dt (wrapped)
       4. recompute derived quantities at new positions
       5. half-kick:  v += a' dt/2 ; u += du' dt/2 (floored)
-    Returns (pos, vel, u, h, der, dt).
+      6. (cfg.mm_visc) explicit-Euler alpha update from the fresh divv
+    Returns (pos, vel, u, h, der, dt); with cfg.mm_visc the evolved alpha
+    is in der["alpha"].
     """
     if dt is None:
         dt = timestep(der["h"], der["cs"], der["acc"], vel, cfg)
@@ -284,7 +307,15 @@ def step(pos, vel, mass, u, h, der, cfg: SPHConfig, box=None, dt=None):
     if box is not None:
         box_arr = np.asarray(box, dtype=np.float64)
         pos = np.mod(pos, box_arr)
-    der = update_derived(pos, vel, mass, u, der["h"], cfg, box)
+    der = update_derived(pos, vel, mass, u, der["h"], cfg, box, alpha=alpha)
     vel = vel + 0.5 * dt * der["acc"]
     u = np.maximum(u + 0.5 * dt * der["du_dt"], cfg.u_floor)
+    if cfg.mm_visc:
+        a = np.ones_like(u) if alpha is None else np.asarray(alpha)
+        h_n, cs_n, divv_n = der["h"], der["cs"], der["divv"]
+        s = np.maximum(-divv_n, 0.0) * (cfg.mm_alpha_max - a)
+        decay = (a - cfg.mm_alpha_min) * (cfg.mm_sigma * cs_n
+                                          / np.maximum(h_n, 1e-300))
+        der["alpha"] = np.clip(a + dt * (s - decay), cfg.mm_alpha_min,
+                               cfg.mm_alpha_max)
     return pos, vel, u, der["h"], der, dt

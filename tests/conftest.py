@@ -3,8 +3,10 @@
 All tests run on CPU with 8 fake XLA devices (SURVEY.md §4.2.4) so the full
 distributed path is exercised hermetically; float64 is enabled so parity
 against the float64 reference can hit 1e-6 (SURVEY.md §7 hard parts). Pallas
-kernels run in interpret mode on CPU; real-TPU smoke tests are marked `tpu`
-and skipped here.
+kernels run in interpret mode on CPU here; the MOSAIC-compiled kernels are
+exercised by the separate real-TPU smoke tier in tpu_tests/ (which this
+conftest deliberately does not govern — run `pytest tpu_tests/` on the
+chip).
 
 Gotcha: this machine's sitecustomize imports jax at interpreter start to
 register the 'axon' TPU plugin, so JAX_PLATFORMS in os.environ is read

@@ -1,0 +1,92 @@
+"""Mosaic-compiled kernels vs the jnp window path ON THE CHIP.
+
+Round 1's gap (VERDICT): interpret-mode CI proves the kernel math but not
+the Mosaic compilation — a miscompile would only surface as a bench
+anomaly. Here kernels A/C/G compile for real and must agree with the jnp
+window path (same pairs, same formulae) to fp32 tolerance, and one Sod
+shock runs end-to-end on the production engine against the analytic gate.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sphax
+from sphax import SPHConfig
+from sphax.neighbors import window as win
+from sphax.physics import wengine
+
+RTOL = 3e-5  # fp32: sums of ~60 neighbor terms, both sides on-chip
+
+
+def _turb_state(n_side=28, seed=2):
+    from sphax.ics import turbulence
+
+    ic = turbulence.build(n_side=n_side)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
+    st = sphax.make_state(*(f32(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    st = st._replace(vel=0.4 * jax.random.normal(jax.random.PRNGKey(seed),
+                                                 st.vel.shape, jnp.float32))
+    return st, dom
+
+
+@pytest.mark.parametrize("name,cfg", [
+    ("balsara_iso", SPHConfig(dim=3, isothermal=True, adaptive_h=True,
+                              newton_iters=2, balsara=True)),
+    ("gradh_mm", SPHConfig(dim=3, adaptive_h=True, newton_iters=2,
+                           grad_h=True, mm_visc=True)),
+])
+def test_mosaic_kernels_match_jnp_window(name, cfg):
+    st, dom = _turb_state()
+    st = st._replace(alpha=0.2 + 0.8 * jax.random.uniform(
+        jax.random.PRNGKey(7), (st.n,), jnp.float32))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.2,
+                             dim=3, cutoff_scale=1.2)
+    a = wengine.update_derived(st, cfg, dom, spec, use_pallas=False)
+    b = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
+    for f in ("h", "rho", "P", "omega", "du_dt", "divv"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        scale = np.abs(x).max() + 1e-30
+        np.testing.assert_allclose(y, x, rtol=RTOL, atol=RTOL * scale,
+                                   err_msg=f"{name}:{f}")
+    scale = np.abs(np.asarray(a.acc)).max()
+    np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                               rtol=RTOL, atol=RTOL * scale)
+
+
+def test_mosaic_gravity_kernel():
+    from sphax.physics import clist
+    from sphax.physics import pallas_kernels as pk
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    pos = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32) / n
+    cfg = SPHConfig(dim=3, gravity=True, G=1.4, grav_eps=0.03)
+    dom = sphax.box(jnp.zeros(3), jnp.ones(3), periodic=False)
+    a = np.asarray(clist.gravity_dense(pos, mass, cfg, dom))
+    b = np.asarray(pk.gravity(pos, mass, cfg))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, rtol=RTOL, atol=RTOL * scale)
+
+
+def test_sod_shock_on_production_engine():
+    """End-to-end Sod on the auto-selected TPU engine, gated vs Riemann."""
+    from sphax.diag import riemann
+    from sphax.integrate import leapfrog
+    from sphax.problems import sod
+
+    p = sod(n=32)
+    st, t = p.state, 0.0
+    while t < 0.1:
+        st, dt = leapfrog.step(st, p.cfg, p.domain, p.engine)
+        t += float(dt)
+    x, rho = np.asarray(st.pos[:, 0]), np.asarray(st.rho)
+    assert np.isfinite(rho).all()
+    w = (x > 0.2) & (x < 0.85)
+    l1 = np.mean(np.abs(rho[w] - riemann.sod_solution(x[w], t)[0]))
+    assert l1 < 0.08, l1  # dense-engine reference value ~0.017
