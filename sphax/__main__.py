@@ -90,10 +90,19 @@ def main(argv=None):
         step += len(dts)
         nchunks += 1
         if nchunks % metrics_every == 0:
-            rec = log.log(state, prob.cfg, t, step)
+            extra = {}
+            if prob.wspec is not None:
+                from sphax.physics import wengine
+                # structural h-cap saturation: silent physics change if >0
+                extra["h_capped"] = int(wengine.capped_count(state,
+                                                             prob.wspec))
+            rec = log.log(state, prob.cfg, t, step, **extra)
+            capmsg = (f" h_capped={extra['h_capped']}"
+                      if extra.get("h_capped") else "")
             print(f"  t={t:.4f} step={step} "
                   f"pss={rec['particle_steps_per_sec']:.3e} "
-                  f"E={rec['e_total']:.5f} mach={rec['mach_rms']:.2f}")
+                  f"E={rec['e_total']:.5f} mach={rec['mach_rms']:.2f}"
+                  + capmsg)
             if not rec["finite"]:
                 bad = checkpoint.verify_integrity(state)
                 raise RuntimeError(f"state corrupt at step {step}: {bad}")

@@ -405,3 +405,17 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
 def overflow_count(state: ParticleState, domain: Domain, spec: WindowSpec):
     """Tiles whose candidate range exceeded wmax + dropped ghosts (must be 0)."""
     return win.build(state.pos, domain, spec).overflow
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def capped_count(state: ParticleState, spec: WindowSpec):
+    """Particles pinned at the STRUCTURAL h cap (h == cutoff/2).
+
+    The window structure only covers neighbours to spec.cutoff, so the
+    Newton solve clamps h there (wengine.solve_h / Pallas kernel A). A
+    nonzero count means the adaptive h wants to exceed what the structure
+    can express — physical in voids/open corners, but a silent physics
+    modification in a production run, so the CLI logs it every metrics
+    interval (round-1 VERDICT weak #9)."""
+    hcap = 0.5 * spec.cutoff
+    return jnp.sum(state.h >= hcap * (1.0 - 1e-6))

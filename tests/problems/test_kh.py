@@ -41,12 +41,14 @@ def test_kh_mode_growth():
     # The sharp-interface start produces a transient dip (pressure waves)
     # before clean exponential growth; the kernel-smoothed interface and AV
     # damp the rate below the idealised sharp value (the well-known SPH-KH
-    # softening, cf. Agertz+2007), so gate on sustained post-transient
-    # growth at a rate within [0.15, 2] x theory.
+    # softening, cf. Agertz+2007). The measured post-transient rate at this
+    # resolution is 0.31 x theory (recorded 2026-08-17, dense engine, x64),
+    # so gate at [0.2, 0.5] x theory: tight enough that a halved growth
+    # rate fails, loose enough for engine/precision jitter.
     i0 = int(np.argmin(amps))
     assert i0 < len(amps) - 3, "no post-transient growth window"
     rate = np.polyfit(times[i0:], np.log(amps[i0:]), 1)[0]
-    assert 0.15 * gamma_th < rate < 2.0 * gamma_th, (rate, gamma_th)
+    assert 0.20 * gamma_th < rate < 0.50 * gamma_th, (rate, gamma_th)
     assert amps[-1] > 2.0 * amps[i0]  # unambiguous growth
 
     p1 = np.asarray(conservation.momentum(st))

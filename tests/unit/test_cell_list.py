@@ -84,3 +84,49 @@ def test_candidates_are_superset_of_true_neighbors(res, periodic):
     for i in range(n):
         for j in np.nonzero(r[i] < cutoff)[0]:
             assert j in cand_of[i], f"pair ({i},{j}) r={r[i, j]:.3f} missed"
+
+
+def test_h_saturation_counter():
+    """clist.h_saturation_count fires when adaptive h outgrows the cells
+    (round-1 advisor: the cell structure's invariants were never re-checked
+    after planning)."""
+    import jax.numpy as jnp
+
+    from sphax import SPHConfig, box, make_state
+    from sphax.neighbors.cell_list import choose_grid
+    from sphax.physics import clist
+
+    rng = np.random.default_rng(2)
+    n = 200
+    pos = rng.random((n, 3))
+    st = make_state(jnp.asarray(pos), jnp.zeros((n, 3)),
+                    jnp.full((n,), 1.0 / n), jnp.ones((n,)),
+                    jnp.full((n,), 0.08))
+    dom = box(jnp.zeros(3), jnp.ones(3))
+    grid = choose_grid(dom, h_max=0.08, n=n)
+    assert int(clist.h_saturation_count(st, dom, grid)) == 0
+    grown = st._replace(h=st.h * 4.0)     # past cell/2
+    assert int(clist.h_saturation_count(grown, dom, grid)) > 0
+
+
+def test_window_capped_counter():
+    """wengine.capped_count counts particles pinned at the structural cap."""
+    import jax.numpy as jnp
+
+    from sphax import box, make_state
+    from sphax.neighbors import window as win
+    from sphax.physics import wengine
+
+    rng = np.random.default_rng(3)
+    n = 200
+    pos = rng.random((n, 3))
+    st = make_state(jnp.asarray(pos), jnp.zeros((n, 3)),
+                    jnp.full((n,), 1.0 / n), jnp.ones((n,)),
+                    jnp.full((n,), 0.04))
+    dom = box(jnp.zeros(3), jnp.ones(3))
+    # cap = cutoff/2 = h_max * cutoff_scale: plan with headroom so the
+    # initial h sits safely below it
+    spec = win.plan_windows(dom, h_max=0.04, n=n, dim=3, cutoff_scale=1.3)
+    assert int(wengine.capped_count(st, spec)) == 0
+    pinned = st._replace(h=jnp.full((n,), 0.5 * spec.cutoff))
+    assert int(wengine.capped_count(pinned, spec)) == n
