@@ -51,10 +51,17 @@ class SPHConfig:
     mm_alpha_max: float = 1.5
     mm_sigma: float = 0.2             # decay rate coefficient (tau = h/(sigma c))
 
-    # Self-gravity (direct sum, Plummer softening)
+    # Self-gravity (Plummer softening). grav_solver:
+    #   "direct" — all-pairs direct sum (exact; O(N^2), Pallas kernel G)
+    #   "p3m"    — Ewald-split particle-mesh + screened short-range pairs
+    #              (sphax/physics/pm.py; O(N log N), the TPU-native answer
+    #              to SURVEY C11's "Barnes-Hut later")
     gravity: bool = False
     G: float = 1.0
     grav_eps: float = 0.01
+    grav_solver: str = "direct"
+    grav_mesh: int = 64               # PM grid points per axis
+    grav_rs_cells: float = 2.0        # Ewald split scale in mesh cells
 
     # Timestep control
     cfl: float = 0.25

@@ -151,7 +151,7 @@ def force_pass(pos, vel, mass, h, rho, P, cs, omega, bf, cfg: SPHConfig,
             bf_i=(bf_i[:, None] if use_vf else None),
             bf_j=(bf[None, :] if use_vf else None),
         )
-        if cfg.gravity:
+        if cfg.gravity and cfg.grav_solver == "direct":
             fcoef = fcoef + pairs.gravity_terms(dx, r, mass[None, :], cfg)
         acc = -jnp.sum(fcoef[..., None] * dx, axis=-2)
         return acc, jnp.sum(du, axis=-1)
@@ -199,5 +199,9 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
     vf = pairs.visc_factor(cfg, bf=bf, alpha=state.alpha)
     acc, du = force_pass(pos, vel, mass, h, rho, P, cs, omega, vf, cfg,
                          domain, block)
+    if cfg.gravity and cfg.grav_solver == "p3m":
+        from sphax.physics import pm
+
+        acc = acc + pm.p3m_accel_dense(pos, mass, cfg, domain)
     return state._replace(h=h, rho=rho, P=P, cs=cs, acc=acc, du_dt=du,
                           omega=omega, divv=divv)

@@ -167,6 +167,32 @@ def divcurl_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, cfg,
     return divv / rho_safe, curl_mag / rho_safe
 
 
+def gravity_short_pass(wd, spec, pos_s, mass_s, cfg: SPHConfig,
+                       domain: Domain, tile_block):
+    """Screened P3M short-range gravity over the window candidates (the
+    4.5 r_s tail provably fits inside spec.cutoff — pm.rs_traced clamps the
+    split scale, so no pair is ever silently truncated)."""
+    from sphax.physics import pm
+
+    rs = pm.rs_traced(cfg, domain, pos_s.dtype, cutoff=spec.cutoff)
+    eps = jnp.asarray(cfg.grav_eps, pos_s.dtype)
+
+    def kfn(own, winf):
+        (pos_i,), (pos_j, m_j) = own, winf
+        dx, r = _geom(pos_i, pos_j)
+        f = pm.short_range_factor(r, rs, eps)
+        # hard-cut at the structure's coverage radius: unlike the SPH
+        # kernels, the erfc screening is not exactly zero there, and junk
+        # window rows beyond the true range must contribute exactly nothing
+        # (the discontinuity is the split residual ~erfc(2.25) ~ 1e-3)
+        f = jnp.where((r > 0.0) & (r <= spec.cutoff), f, 0.0)
+        f = f * m_j[:, None, :]
+        return -float(cfg.G) * jnp.sum(f[..., None] * dx, axis=-2)
+
+    return _tile_pass(kfn, wd, spec, (pos_s,), (pos_s, mass_s), tile_block,
+                      mass_axis=1)
+
+
 def force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s, P_s, cs_s, om_s,
                bf_s, cfg: SPHConfig, tile_block):
     def kfn(own, winf):
@@ -306,15 +332,27 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
                                use_pallas)
 
     if cfg.gravity:
-        # the Pallas kernel uses the open-boundary convention (no min-image);
-        # on periodic domains fall back to the min-image jnp pass so both
-        # engine paths agree (true periodic gravity needs Ewald sums — out of
-        # scope, documented in NEXT.md)
-        if use_pallas and not any(domain.periodic_axes(state.dim)):
+        if cfg.grav_solver == "p3m":
+            # O(N log N): FFT mesh long-range + screened short-range over
+            # the SAME window candidates as the SPH forces. Proper Ewald
+            # boundary conditions on periodic boxes (unlike the min-image
+            # direct sum), free-space Hockney convolution on open ones.
+            from sphax.physics import pm
+
+            rs = pm.rs_traced(cfg, domain, pos_s.dtype, cutoff=spec.cutoff)
+            acc_g = pm.mesh_accel(state.pos, state.mass, cfg, domain, rs=rs)
+            short_s = gravity_short_pass(wd, spec, pos_s, mass_s, cfg,
+                                         domain, tile_block)
+            acc_g = acc_g + short_s[wd.inv]
+        elif use_pallas and not any(domain.periodic_axes(state.dim)):
+            # direct sum via the Pallas kernel (open-boundary convention)
             from sphax.physics import pallas_kernels as pk
 
             acc_g = pk.gravity(state.pos, state.mass, cfg)
         else:
+            # direct sum, min-image on periodic domains (matches the
+            # reference_cpu parity convention; P3M is the Ewald-correct
+            # scalable alternative)
             from sphax.physics.clist import gravity_dense
             acc_g = gravity_dense(state.pos, state.mass, cfg, domain)
     else:
