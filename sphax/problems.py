@@ -81,13 +81,20 @@ def sod(n: int = 32, dtype=jnp.float32, **kw) -> Problem:
     return Problem("sod", eng(st), cfg, dom, eng, t_end=0.1, wspec=spec)
 
 
-def sedov(n: int = 20, dtype=jnp.float32, **kw) -> Problem:
+def sedov(n: int = 20, visc: str = "balsara", dtype=jnp.float32,
+          **kw) -> Problem:
+    """visc: "balsara" (default) or "mm" (Morris-Monaghan time-dependent
+    alpha — SURVEY §2.1.6 lists either switch for this config)."""
     from sphax.ics import sedov as ics
     ic = ics.build(n_side=int(n))
     cfg = sphax.configs.SEDOV
+    if visc == "mm":
+        cfg = dataclasses.replace(cfg, balsara=False, mm_visc=True,
+                                  alpha_visc=1.0, beta_visc=2.0)
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
-                            ("pos", "vel", "mass", "u", "h")))
+                            ("pos", "vel", "mass", "u", "h")),
+                          alpha0=(cfg.mm_alpha_min if visc == "mm" else 1.0))
     # blast centre evacuates -> h grows ~1.6x; margin 1.5 covers it
     eng, spec = _auto_engine(st, cfg, dom, h_margin=1.5)
     return Problem("sedov", eng(st), cfg, dom, eng, t_end=0.06, wspec=spec)
@@ -104,10 +111,17 @@ def kh(n: int = 64, dtype=jnp.float32, **kw) -> Problem:
     return Problem("kh", eng(st), cfg, dom, eng, t_end=1.0, wspec=spec)
 
 
-def evrard(n: int = 4096, dtype=jnp.float32, **kw) -> Problem:
+def evrard(n: int = 4096, solver: str = "direct", mesh: int = 64,
+           dtype=jnp.float32, **kw) -> Problem:
+    """solver: "direct" (exact O(N^2), the parity default) or "p3m"
+    (Ewald-split FFT mesh + screened pairs — the O(N log N) tier for
+    N >> 1e5, sphax/physics/pm.py)."""
     from sphax.ics import evrard as ics
     ic = ics.build(n=int(n))
     cfg = sphax.configs.EVRARD
+    if solver == "p3m":
+        cfg = dataclasses.replace(cfg, grav_solver="p3m",
+                                  grav_mesh=int(mesh))
     dom = sphax.Domain(lo=_f(ic, "lo", dtype), hi=_f(ic, "hi", dtype),
                        periodic=False)
     st = sphax.make_state(*(_f(ic, k, dtype) for k in

@@ -35,3 +35,24 @@ def test_evrard_energy_conservation():
     # the cloud should have contracted: central density grows
     r = np.sqrt((np.asarray(st.pos) ** 2).sum(-1))
     assert np.median(r) < np.median(np.sqrt((ic["pos"] ** 2).sum(-1)))
+
+
+def test_evrard_p3m_variant_tracks_direct():
+    """The registry's P3M Evrard variant (solver="p3m") stays finite and
+    tracks the exact direct-sum trajectory at early collapse times (the
+    O(N log N) tier for N >> 1e5, SURVEY C11)."""
+    import numpy as np
+
+    from sphax.integrate import leapfrog
+    from sphax.problems import evrard as evrard_problem
+
+    pd = evrard_problem(n=700)
+    pp = evrard_problem(n=700, solver="p3m", mesh=32)
+    sd, sp = pd.state, pp.state
+    for _ in range(4):
+        sd, _ = leapfrog.step(sd, pd.cfg, pd.domain, pd.engine)
+        sp, _ = leapfrog.step(sp, pp.cfg, pp.domain, pp.engine)
+    assert np.isfinite(np.asarray(sp.rho)).all()
+    dv = np.abs(np.asarray(sp.vel) - np.asarray(sd.vel)).max()
+    vscale = np.abs(np.asarray(sd.vel)).max() + 1e-30
+    assert dv < 0.05 * vscale, (dv, vscale)

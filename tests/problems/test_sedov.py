@@ -37,3 +37,31 @@ def test_sedov_shock_radius():
     # global-dt KDK is ~1st order in energy through the violent blast onset
     # (AV velocity dependence); at cfl=0.15, n=14 the drift is ~1%
     assert abs(e1 - e0) / e0 < 2e-2
+
+
+def test_sedov_morris_monaghan_variant():
+    """Sedov with the Morris-Monaghan alpha(t) switch (SURVEY §2.1.6, C8):
+    the blast's convergent front must raise alpha from alpha_min toward
+    alpha_max, the shock radius gate still holds, and energy stays
+    conserved at the same order as the Balsara variant."""
+    import jax.numpy as jnp
+
+    from sphax.diag import conservation
+    from sphax.problems import sedov as sedov_problem
+    from sphax.run import simulate_until
+
+    prob = sedov_problem(n=16, visc="mm")
+    assert prob.cfg.mm_visc and not prob.cfg.balsara
+    st = prob.state
+    assert float(jnp.max(st.alpha)) <= prob.cfg.mm_alpha_min * 1.001
+    e0 = conservation.total_energy(st, prob.cfg)
+    st, _, t, _ = simulate_until(st, prob.cfg, prob.domain, prob.engine,
+                                 t_end=0.02, chunk=16, max_steps=1500)
+    assert np.isfinite(np.asarray(st.rho)).all()
+    # the switch switched: the shock front drove alpha well above the floor
+    assert float(jnp.max(st.alpha)) > 3.0 * prob.cfg.mm_alpha_min
+    # but the quiescent exterior stayed near alpha_min (that is the point
+    # of the switch: viscosity only where compression demands it)
+    assert float(jnp.percentile(st.alpha, 20)) < 2.0 * prob.cfg.mm_alpha_min
+    e1 = conservation.total_energy(st, prob.cfg)
+    assert abs(float(e1 - e0)) / abs(float(e0)) < 0.05
