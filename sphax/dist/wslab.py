@@ -369,10 +369,31 @@ def _local_derived(st: ParticleState, cuts, cfg: SPHConfig, domain: Domain,
 
     out = jnp.stack([du_s] + [acc_s[:, d] for d in range(dim)],
                     axis=-1)[wd.inv]                              # [nc, 1+D]
+    acc = out[:nl, 1:1 + dim]
+
+    if cfg.gravity:
+        if cfg.grav_solver == "p3m":
+            # distributed P3M: every shard deposits its particles on a full
+            # copy of the (small) global mesh, ONE psum replicates it, the
+            # FFT solve runs redundantly per shard, and the screened
+            # short-range rides this shard's window candidates (ghosts from
+            # the ppermute margin >= cutoff >= 4.5 r_s cover every
+            # cross-boundary pair)
+            from sphax.physics import pm
+
+            rs = pm.rs_traced(cfg, domain, dtype, cutoff=wspec.cutoff)
+            acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs,
+                                  axis_name=AXIS)
+            short_s = wengine.gravity_short_pass(wd, wspec, pos_s, mass_s,
+                                                 cfg, domain, tile_block)
+            acc = acc + acc_m + short_s[wd.inv][:nl]
+        else:
+            acc = acc + _gravity_ring(st.pos, st.mass, cuts, cfg, domain,
+                                      spec, use_pallas)
 
     st = st._replace(h=loc(h_c), rho=loc(rho_c), P=loc(P_c), cs=loc(cs_c),
                      omega=loc(om_c), du_dt=loc(out[:, 0]),
-                     acc=out[:nl, 1:1 + dim], divv=loc(divv_c))
+                     acc=acc, divv=loc(divv_c))
     health = (jnp.asarray(dropped, jnp.int32),
               wd.overflow.astype(jnp.int32))
     return st, health
@@ -430,10 +451,6 @@ def make_step(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
         st, health = _local_derived(
             st._replace(pos=pos, vel=vel, u=u), cuts, cfg, domain, spec,
             use_pallas, tile_block)
-        if cfg.gravity:
-            acc_g = _gravity_ring(st.pos, st.mass, cuts, cfg, domain, spec,
-                                  use_pallas)
-            st = st._replace(acc=st.acc + acc_g)
         vel = st.vel + half * st.acc
         u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
         st = st._replace(vel=vel, u=u)
@@ -470,10 +487,6 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec, nsteps: int,
             s, health = _local_derived(
                 s._replace(pos=pos, vel=vel, u=u), cuts, cfg, domain, spec,
                 use_pallas, tile_block)
-            if cfg.gravity:
-                acc_g = _gravity_ring(s.pos, s.mass, cuts, cfg, domain,
-                                      spec, use_pallas)
-                s = s._replace(acc=s.acc + acc_g)
             vel = s.vel + half * s.acc
             u = jnp.maximum(s.u + half * s.du_dt, cfg.u_floor)
             s = s._replace(vel=vel, u=u)

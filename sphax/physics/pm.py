@@ -105,75 +105,6 @@ def _interp(grids, pos, lo, cell, M, periodic):
     return jnp.stack(out, axis=-1)
 
 
-def _mesh_accel_periodic(pos, mass, domain: Domain, G, rs, M):
-    dtype = pos.dtype
-    lo = domain.lo.astype(dtype)
-    ext = domain.extent.astype(dtype)
-    cell = ext / M
-    grid = _deposit(pos, mass, lo, cell, M, periodic=True)
-
-    k1 = [2 * jnp.pi * jnp.fft.fftfreq(M).astype(dtype) / cell[d]
-          for d in range(3)]
-    kx = k1[0][:, None, None]
-    ky = k1[1][None, :, None]
-    kz = k1[2][None, None, :]
-    k2 = kx * kx + ky * ky + kz * kz
-    k2 = jnp.where(k2 == 0.0, 1.0, k2)
-
-    # CIC deconvolution (deposit + interpolation): W(k)^2 per pass
-    def sinc(x):
-        return jnp.where(x == 0.0, 1.0, jnp.sin(x) / jnp.where(x == 0.0, 1.0,
-                                                               x))
-    W = (sinc(0.5 * kx * cell[0]) * sinc(0.5 * ky * cell[1])
-         * sinc(0.5 * kz * cell[2])) ** 2
-    W4 = jnp.maximum(W * W, 1e-6) ** 2  # W^2 per CIC pass, 2 passes
-
-    mhat = jnp.fft.fftn(grid)
-    phihat = (-4.0 * jnp.pi * G * jnp.exp(-k2 * rs * rs) / k2 / W4) * mhat
-    phihat = phihat.at[0, 0, 0].set(0.0)
-    acc_g = []
-    for kd in (kx, ky, kz):
-        # acc = -grad phi -> in k-space: -i k phi
-        acc_g.append(jnp.real(jnp.fft.ifftn(-1j * kd * phihat))
-                     / jnp.prod(cell))
-    return _interp(acc_g, pos, lo, cell, M, periodic=True)
-
-
-def _mesh_accel_open(pos, mass, domain: Domain, G, rs, M):
-    """Hockney-Eastwood: zero-pad to 2M and convolve with the SAMPLED
-    free-space long-range FORCE kernels (exact discrete convolution)."""
-    dtype = pos.dtype
-    lo = domain.lo.astype(dtype)
-    ext = domain.extent.astype(dtype)
-    cell = ext / M
-    grid = _deposit(pos, mass, lo, cell, M, periodic=False)
-    P = 2 * M
-    gpad = jnp.zeros((P, P, P), dtype).at[:M, :M, :M].set(grid)
-
-    # force kernel F_d(r) = -d/dr_d [erf(r/2rs)/r]
-    #            = r_d [ erf(r/2rs)/r^3 - exp(-r^2/4rs^2)/(rs sqrt(pi) r^2) ]
-    ax = [jnp.arange(P) for _ in range(3)]
-    coord = [jnp.where(a < M, a, a - P).astype(dtype) * c
-             for a, c in zip(ax, cell)]
-    rx = coord[0][:, None, None]
-    ry = coord[1][None, :, None]
-    rz = coord[2][None, None, :]
-    r2 = rx * rx + ry * ry + rz * rz
-    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
-    x = r / (2.0 * rs)
-    fmag = (jax.lax.erf(x) / jnp.maximum(r2 * r, 1e-30)
-            - jnp.exp(-x * x) / (rs * jnp.sqrt(jnp.pi)
-                                 * jnp.maximum(r2, 1e-30)))
-    fmag = jnp.where(r2 <= 0.0, 0.0, fmag)   # origin node: no self-force
-    khat = [jnp.fft.fftn(rd * fmag) for rd in (rx, ry, rz)]
-
-    mhat = jnp.fft.fftn(gpad)
-    # acc_i = -G sum_j m_j F(x_i - x_j): convolution with the kernel
-    acc_g = [jnp.real(jnp.fft.ifftn(mhat * kh))[:M, :M, :M] * (-G)
-             for kh in khat]
-    return _interp(acc_g, pos, lo, cell, M, periodic=False)
-
-
 def rs_traced(cfg: SPHConfig, domain: Domain, dtype, cutoff=None):
     """Split scale r_s (traced). If the short-range pass rides a neighbor
     structure with search radius ``cutoff``, r_s shrinks so the screened
@@ -187,19 +118,85 @@ def rs_traced(cfg: SPHConfig, domain: Domain, dtype, cutoff=None):
     return rs
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def mesh_accel(pos, mass, cfg: SPHConfig, domain: Domain, rs=None):
-    """Long-range (Gaussian-filtered) gravitational acceleration [N, D]."""
+def _solve_and_interp(grid, pos_eval, domain: Domain, G, rs, M, periodic):
+    """Shared back half: Green's function / Hockney solve + CIC interp."""
+    dtype = pos_eval.dtype
+    lo = domain.lo.astype(dtype)
+    ext = domain.extent.astype(dtype)
+    cell = ext / M
+    if periodic:
+        k1 = [2 * jnp.pi * jnp.fft.fftfreq(M).astype(dtype) / cell[d]
+              for d in range(3)]
+        kx = k1[0][:, None, None]
+        ky = k1[1][None, :, None]
+        kz = k1[2][None, None, :]
+        k2 = kx * kx + ky * ky + kz * kz
+        k2 = jnp.where(k2 == 0.0, 1.0, k2)
+
+        def sinc(x):
+            return jnp.where(x == 0.0, 1.0,
+                             jnp.sin(x) / jnp.where(x == 0.0, 1.0, x))
+        W = (sinc(0.5 * kx * cell[0]) * sinc(0.5 * ky * cell[1])
+             * sinc(0.5 * kz * cell[2])) ** 2
+        W4 = jnp.maximum(W * W, 1e-6) ** 2
+        mhat = jnp.fft.fftn(grid)
+        phihat = (-4.0 * jnp.pi * G * jnp.exp(-k2 * rs * rs) / k2 / W4) * mhat
+        phihat = phihat.at[0, 0, 0].set(0.0)
+        acc_g = [jnp.real(jnp.fft.ifftn(-1j * kd * phihat)) / jnp.prod(cell)
+                 for kd in (kx, ky, kz)]
+        return _interp(acc_g, pos_eval, lo, cell, M, periodic=True)
+    P = 2 * M
+    gpad = jnp.zeros((P, P, P), dtype).at[:M, :M, :M].set(grid)
+    ax = [jnp.arange(P) for _ in range(3)]
+    coord = [jnp.where(a < M, a, a - P).astype(dtype) * c
+             for a, c in zip(ax, cell)]
+    rx = coord[0][:, None, None]
+    ry = coord[1][None, :, None]
+    rz = coord[2][None, None, :]
+    r2 = rx * rx + ry * ry + rz * rz
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+    x = r / (2.0 * rs)
+    fmag = (jax.lax.erf(x) / jnp.maximum(r2 * r, 1e-30)
+            - jnp.exp(-x * x) / (rs * jnp.sqrt(jnp.pi)
+                                 * jnp.maximum(r2, 1e-30)))
+    fmag = jnp.where(r2 <= 0.0, 0.0, fmag)
+    khat = [jnp.fft.fftn(rd * fmag) for rd in (rx, ry, rz)]
+    mhat = jnp.fft.fftn(gpad)
+    acc_g = [jnp.real(jnp.fft.ifftn(mhat * kh))[:M, :M, :M] * (-G)
+             for kh in khat]
+    return _interp(acc_g, pos_eval, lo, cell, M, periodic=False)
+
+
+@partial(jax.jit, static_argnames=("cfg", "axis_name"))
+def mesh_accel(pos, mass, cfg: SPHConfig, domain: Domain, rs=None,
+               axis_name=None):
+    """Long-range (Gaussian-filtered) gravitational acceleration [N, D].
+
+    ``axis_name``: when called inside a shard_map over that axis, each
+    shard deposits ITS particles on a full copy of the (small) global grid
+    and one psum makes the grids identical — the FFT solve is then
+    replicated per shard, which at PM grid sizes (<= 128^3) is far cheaper
+    than a distributed FFT, and the interp back is purely local. This is
+    the distributed P3M mesh used by dist/wslab.py.
+    """
     M = int(cfg.grav_mesh)
     dtype = pos.dtype
     if rs is None:
         rs = rs_traced(cfg, domain, dtype)
     per = domain.periodic_axes(pos.shape[1])
-    if all(per):
-        return _mesh_accel_periodic(pos, mass, domain, float(cfg.G), rs, M)
-    if not any(per):
-        return _mesh_accel_open(pos, mass, domain, float(cfg.G), rs, M)
-    raise NotImplementedError("P3M needs fully periodic or fully open box")
+    periodic = all(per)
+    if not periodic and any(per):
+        raise NotImplementedError("P3M needs fully periodic or fully open "
+                                  "box")
+    lo = domain.lo.astype(dtype)
+    ext = domain.extent.astype(dtype)
+    cell = ext / M
+    pos_dep = domain.wrap(pos)
+    grid = _deposit(pos_dep, mass, lo, cell, M, periodic)
+    if axis_name is not None:
+        grid = jax.lax.psum(grid, axis_name)
+    return _solve_and_interp(grid, pos_dep, domain, float(cfg.G), rs, M,
+                             periodic)
 
 
 def rs_value(cfg: SPHConfig, domain: Domain):

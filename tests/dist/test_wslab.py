@@ -208,3 +208,48 @@ def test_wslab_gravity_matches_single_device():
         scale = np.max(np.abs(b)) + 1e-30
         np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8 * scale,
                                    err_msg=f)
+
+
+def test_wslab_p3m_gravity_matches_single_device():
+    """Distributed P3M (psum'd mesh deposits + per-shard screened short
+    range) == the single-device dense-engine P3M at fp tolerance: the mesh
+    grids are bitwise-equivalent up to summation order, and the ghost
+    margin covers every short-range pair."""
+    cfg = SPHConfig(dim=3, adaptive_h=False, grad_h=False,
+                    gravity=True, G=1.3, grav_eps=0.004,
+                    grav_solver="p3m", grav_mesh=64, grav_rs_cells=2.0)
+    rng = np.random.default_rng(13)
+    n = 2048
+    pos = rng.random((n, 3))
+    vel = rng.normal(scale=0.1, size=(n, 3))
+    mass = np.full(n, 1.5 / n)
+    u = 0.5 + rng.random(n)
+    h = np.full(n, 0.07)
+    dom = box(jnp.zeros(3), jnp.ones(3), periodic=False)
+    st = make_state(*(jnp.asarray(a) for a in (pos, vel, mass, u, h)))
+
+    engine = lambda s: dense.update_derived(s, cfg, dom, block=64)
+    ref = engine(st)
+    for _ in range(2):
+        ref, _ = leapfrog.step(ref, cfg, dom, engine, wrap=False)
+
+    ns = 4
+    mesh = wslab.make_mesh(ns)
+    spec = wslab.plan(dom, st.n, h_max=float(st.h.max()) * 1.1, n_shards=ns)
+    cuts = wslab.equal_cuts(spec.ncell_ax, ns)
+    sh = wslab.distribute(engine(st), dom, mesh, spec, cuts)
+    mr, _ = wslab.make_max_run(mesh, spec)(sh, jnp.asarray(cuts), dom)
+    spec = wslab.refine_wseg(spec, int(mr))
+    step = wslab.make_step(mesh, cfg, spec)
+    for _ in range(2):
+        sh, dt, health = step(sh, jnp.asarray(cuts), dom)
+        assert int(health[0]) == 0 and int(health[1]) == 0
+
+    got = wslab.gather_real(sh)
+    oi, oj = _order(got), _order(ref)
+    for f in ("pos", "vel", "rho", "acc"):
+        a = np.asarray(getattr(got, f))[oi]
+        b = np.asarray(getattr(ref, f))[oj]
+        scale = np.max(np.abs(b)) + 1e-30
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3 * scale,
+                                   err_msg=f)
