@@ -53,14 +53,14 @@ def main():
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
                                      rebuild_every=rebuild_every,
                                      use_pallas=True)
-    st2, _, dts = run(st)       # compile + warm
+    st2, _, dts, ovf = run(st)  # compile + warm
     jax.block_until_ready(st2.pos)
 
     # median of 3 timed reps; guard against async-timing anomalies
     walls = []
     for _ in range(3):
         t0 = time.time()
-        st2, _, dts = run(st2)
+        st2, _, dts, ovf = run(st2)
         jax.block_until_ready(st2.pos)
         walls.append(time.time() - t0)
     walls = [w for w in sorted(walls) if w > 0.05] or sorted(walls)
@@ -68,6 +68,7 @@ def main():
 
     assert bool(jnp.isfinite(st2.rho).all()), "non-finite state in bench"
     assert bool(jnp.all(dts > 0)), "non-positive dt in bench"
+    assert int(ovf) == 0, f"window structure overflow in bench: {int(ovf)}"
     h_residual = float(jnp.max(
         jnp.abs(st2.rho - st2.mass * (cfg.eta / st2.h) ** 3) / st2.rho))
     assert h_residual < 5e-3, f"h not converged: {h_residual}"

@@ -38,12 +38,13 @@ def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 4) -> dict:
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
                                      rebuild_every=rebuild_every,
                                      use_pallas=True)
-    s2, _, _ = run(st)
+    s2, _, _, ovf = run(st)
     jax.block_until_ready(s2.pos)
+    assert int(ovf) == 0, "window structure overflow"
     walls = []
     for _ in range(2):
         t0 = time.time()
-        s2, _, _ = run(s2)
+        s2, _, _, ovf = run(s2)
         jax.block_until_ready(s2.pos)
         walls.append(time.time() - t0)
     wall = min(w for w in walls if w > 0.05) if any(

@@ -96,6 +96,14 @@ def main(argv=None):
                 # structural h-cap saturation: silent physics change if >0
                 extra["h_capped"] = int(wengine.capped_count(state,
                                                              prob.wspec))
+                # structure saturation: a saturated window silently deletes
+                # pairs, so this is a hard abort (round-1 advisor #2)
+                ovf = int(wengine.overflow_count(state, prob.domain,
+                                                 prob.wspec))
+                if ovf:
+                    raise RuntimeError(
+                        f"window structure overflow ({ovf}) at step {step};"
+                        " re-plan with larger wseg/ghost capacities")
             rec = log.log(state, prob.cfg, t, step, **extra)
             capmsg = (f" h_capped={extra['h_capped']}"
                       if extra.get("h_capped") else "")

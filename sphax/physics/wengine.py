@@ -393,7 +393,10 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
     far side of the box, which a stale structure cannot represent — the same
     reason the slab engine wraps only at redistribution; spec.cutoff's
     margin over 2 h_max must cover the unwrapped drift between rebuilds).
-    Returns (state, drive, dts).
+    Returns (state, drive, dts, overflow) — ``overflow`` is the MAX
+    per-rebuild structure overflow across the whole run (tiles past wseg +
+    dropped ghosts); callers must treat nonzero as a hard error, since a
+    saturated structure silently deletes pairs (round-1 advisor #2).
     """
     from sphax.integrate import leapfrog
     from sphax.integrate.timestep import local_dt
@@ -428,15 +431,16 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
         wd = win.build(st.pos, domain, spec)
         (st, _, dr), dts = jax.lax.scan(inner, (st, wd, dr), None,
                                         length=rebuild_every)
-        return (st, dr), dts
+        return (st, dr), (dts, wd.overflow)
 
     if drive is None:
         from sphax.physics.driving import DriveState
         drive = DriveState(jnp.zeros((1, 3)), jnp.zeros((1, 3)),
                            jax.random.PRNGKey(0))
-    (state, drive), dts = jax.lax.scan(outer, (state, drive), None,
-                                       length=nsteps // rebuild_every)
-    return state._replace(pos=domain.wrap(state.pos)), drive, dts.reshape(-1)
+    (state, drive), (dts, ovf) = jax.lax.scan(
+        outer, (state, drive), None, length=nsteps // rebuild_every)
+    return (state._replace(pos=domain.wrap(state.pos)), drive,
+            dts.reshape(-1), jnp.max(ovf))
 
 
 @partial(jax.jit, static_argnames=("spec",))
