@@ -14,6 +14,10 @@ import os
 import sys
 import time
 
+# repo root on sys.path when invoked as `python benchmarks/sweep.py` (the
+# axon TPU plugin forbids PYTHONOPATH overrides on this machine)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 4) -> dict:
     import jax
@@ -56,7 +60,31 @@ def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 4) -> dict:
                 device=str(jax.devices()[0]))
 
 
+def gate() -> int:
+    """Perf regression gate (SURVEY.md §4.2.6): measured throughput must not
+    fall below the stored floor (benchmarks/perf_floor.json, set to ~80% of
+    the current BASELINE.md numbers so noise passes but a real regression —
+    e.g. a deliberate 2x slowdown — fails loudly). Returns a shell rc."""
+    floor_path = os.path.join(os.path.dirname(__file__), "perf_floor.json")
+    with open(floor_path) as f:
+        floors = json.load(f)
+    rc = 0
+    for key, floor in floors.items():
+        n_side = int(key.split("=")[1])
+        rec = bench_one(n_side)
+        pss = rec["particle_steps_per_sec"]
+        ok = pss >= floor
+        print(json.dumps(dict(gate=key, measured=pss, floor=floor, ok=ok)),
+              flush=True)
+        if not ok:
+            rc = 1
+    print("PERF GATE:", "PASS" if rc == 0 else "FAIL", flush=True)
+    return rc
+
+
 def main():
+    if "--gate" in sys.argv:
+        raise SystemExit(gate())
     sizes = [int(a) for a in sys.argv[1:]] or [32, 48, 64, 100]
     out = os.path.join(os.path.dirname(__file__), "sweep_results.jsonl")
     with open(out, "a") as f:
