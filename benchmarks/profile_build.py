@@ -26,7 +26,8 @@ def timeit(f, *a, reps=5, **kw):
 
 
 def main():
-    ic = turbulence.build(n_side=100)
+    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    ic = turbulence.build(n_side=n_side)
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
     st = sphax.make_state(*(f32(ic[k]) for k in ("pos", "vel", "mass", "u", "h")))
@@ -40,28 +41,35 @@ def main():
     res = jnp.asarray(spec.res, dtype)
     cell = ext / res
 
-    # ghosts stage
+    # ghosts stage — the per-axis two-face pass build() actually performs
+    # (each pass images BOTH faces of the ACCUMULATED array, so edge/corner
+    # images arise as ghosts-of-ghosts; see win.build)
     def ghosts(pos):
         idx = jnp.arange(n, dtype=jnp.int32)
         cut = jnp.asarray(spec.cutoff, dtype)
-        bufs, shifts = [], []
-        for off, cap in zip(spec.image_offsets(), spec.ghost_caps):
+        cur_pos, cur_orig = pos, idx
+        for d in range(dim):
+            cap = spec.ghost_caps[d]
             if cap == 0:
                 continue
-            m = jnp.ones((n,), bool)
-            for d in range(dim):
-                if off[d] > 0:
-                    m &= pos[:, d] < lo[d] + cut
-                elif off[d] < 0:
-                    m &= pos[:, d] > lo[d] + ext[d] - cut
-            buf, dropped = win._pack_offset(m, idx, cap, n)
-            bufs.append(buf)
-            shifts.append(jnp.broadcast_to(jnp.asarray(off, dtype) * ext,
-                                           (cap, dim)))
-        return jnp.concatenate([idx] + bufs)
+            nc = cur_pos.shape[0]
+            rows_c = jnp.arange(nc, dtype=jnp.int32)
+            off = jnp.zeros((dim,), dtype).at[d].set(ext[d])
+            new_pos, new_orig = [], []
+            for sgn, m in ((1.0, cur_pos[:, d] < lo[d] + cut),
+                           (-1.0, cur_pos[:, d] > lo[d] + ext[d] - cut)):
+                m = m & (cur_orig < n)
+                take, _ = win._pack_offset(m, rows_c, cap, nc)
+                tk = jnp.minimum(take, nc - 1)
+                new_pos.append(cur_pos[tk] + sgn * off)
+                new_orig.append(jnp.where(take >= nc, n, cur_orig[tk]))
+            cur_pos = jnp.concatenate([cur_pos] + new_pos)
+            cur_orig = jnp.concatenate([cur_orig] + new_orig)
+        return cur_orig
 
     t, orig = timeit(jax.jit(ghosts), pos)
-    print(f"ghost packing ({len([c for c in spec.ghost_caps if c])} offsets): {t*1e3:8.2f} ms")
+    n_pass = len([c for c in spec.ghost_caps if c])
+    print(f"ghost packing ({n_pass} axis passes): {t*1e3:8.2f} ms")
 
     n_raw = orig.shape[0]
     print("n_raw", n_raw, "n_sorted", spec.n_sorted)

@@ -141,8 +141,12 @@ def plan(domain: Domain, n: int, h_max: float, n_shards: int,
     ext_local[slab_axis] = (2 * margin_cells + margin_cells + res_max
                             + margin_cells) * cell_ax
     per = domain.periodic_axes(dim)
-    local_dom = Domain(lo=jnp.zeros(dim, jnp.float64),
-                      hi=jnp.asarray(ext_local),
+    # plan-time geometry only (plan_windows re-reads lo/hi as np.float64);
+    # requesting f64 leaves without x64 enabled emits a truncation warning
+    # in every production log, so inherit the runtime float width instead
+    fdtype = jnp.zeros(0).dtype
+    local_dom = Domain(lo=jnp.zeros(dim, fdtype),
+                      hi=jnp.asarray(ext_local, fdtype),
                       periodic=tuple(False if d == slab_axis else per[d]
                                      for d in range(dim)))
     wspec = win.plan_windows(local_dom, h_max=h_max, n=nl + 2 * G, dim=dim,

@@ -52,10 +52,28 @@ def load(path: str) -> Tuple[ParticleState, float, int, Optional[DriveState],
     """Load a checkpoint -> (state, t, step, drive, extra)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
-        if meta["schema"] != SCHEMA:
-            raise ValueError(f"checkpoint schema {meta['schema']} != {SCHEMA}")
-        state = ParticleState(**{k: jnp.asarray(z[f"state/{k}"])
-                                 for k in ParticleState._fields})
+        if meta["schema"] > SCHEMA:
+            raise ValueError(
+                f"checkpoint schema {meta['schema']} is newer than this "
+                f"build's {SCHEMA}; upgrade the framework to resume it")
+        # older schemas migrate forward: fields added since (alpha in v1-era
+        # files without it, divv in v2) default to their make_state values,
+        # which is exactly the state a fresh run would carry before the
+        # first derived pass (advisor round-2 low #1)
+        fields = {}
+        n = z["state/pos"].shape[0]
+        dtype = z["state/pos"].dtype
+        defaults = {"alpha": np.ones((n,), dtype),
+                    "divv": np.zeros((n,), dtype)}
+        for k in ParticleState._fields:
+            key = f"state/{k}"
+            if key in z:
+                fields[k] = jnp.asarray(z[key])
+            elif k in defaults:
+                fields[k] = jnp.asarray(defaults[k])
+            else:
+                raise ValueError(f"checkpoint missing required field {k}")
+        state = ParticleState(**fields)
         drive = None
         if meta["has_drive"]:
             drive = DriveState(amp_re=jnp.asarray(z["drive/amp_re"]),

@@ -9,10 +9,11 @@ maskless dense [T, S] VPU arithmetic, accumulating over segments so live
 intermediates stay ~[128, wseg]:
 
   * kernel A — adaptive-h Newton iterations FUSED with density/d(rho)/dh
-    summation: candidate windows and pair distances are computed once and
-    reused by every Newton iteration;
-  * kernel B — Balsara div/curl estimators;
-  * kernel C — symmetrized pressure force + artificial viscosity + du/dt.
+    summation (and, when a viscosity switch needs them, the Balsara
+    div/curl estimator sums): candidate windows and pair distances are
+    computed once and reused by every Newton iteration;
+  * kernel C — symmetrized pressure force + artificial viscosity + du/dt;
+  * kernel G — direct-sum softened gravity (streamed column chunks).
 
 All pair formulae are literal transcriptions of sphax/physics/pairs.py (the
 numerical contract, SURVEY.md §2.1); the parity suite pins them to the
@@ -69,22 +70,6 @@ def _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S):
         cp.wait()
 
 
-def _seg_keep(wl_ref, i, s, S, dtype, n_seg):
-    """First-occurrence weight (1/0) for segment s vs earlier segments.
-
-    wl_ref is the FLATTENED [n_tiles * n_seg] start table — 2D SMEM arrays
-    get lane-padded to 128 ints per row, which blows the 1 MB SMEM budget at
-    large N; 1D stays compact.
-    """
-    base = wl_ref[i % 8, s]
-    k = base + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    dup = jnp.zeros((1, S), jnp.bool_)
-    for sp in range(s):
-        b = wl_ref[i % 8, sp]
-        dup |= (k >= b) & (k < b + S)
-    return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
-
-
 def _blk_keep(wl_ref, wn_ref, row, s, b, dtype, blkw, nblk):
     """First-occurrence weight (1/0) for compute-block b of segment s.
 
@@ -115,34 +100,6 @@ def _blocks(S):
     if _interpret():
         return 1, S
     return S // 128, 128
-
-
-def _cubic_w(q, h, dim):
-    sig = K.sigma(dim)
-    q1 = 1.0 - 1.5 * q * q + 0.75 * q * q * q
-    t = 2.0 - q
-    q2 = 0.25 * t * t * t
-    f = jnp.where(q < 1.0, q1, jnp.where(q < 2.0, q2, 0.0))
-    return (sig / h**dim) * f
-
-
-def _cubic_dwdh(q, h, w, dim):
-    sig = K.sigma(dim)
-    d1 = (-3.0 + 2.25 * q) * q
-    t = 2.0 - q
-    d2 = -0.75 * t * t
-    df = jnp.where(q < 1.0, d1, jnp.where(q < 2.0, d2, 0.0))
-    dwdq = (sig / h**dim) * df
-    return -(dim * w + q * dwdq) / h
-
-
-def _cubic_g(q, r, h, dim, eps=1e-30):
-    sig = K.sigma(dim)
-    g1 = (-3.0 + 2.25 * q) / h
-    t = 2.0 - q
-    g2 = -0.75 * t * t / jnp.maximum(r, eps)
-    g = jnp.where(q < 1.0, g1, jnp.where(q < 2.0, g2, 0.0))
-    return (sig / h**dim) * g / h
 
 
 def _prep(spec: WindowSpec):
@@ -387,74 +344,6 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
 
 
 # ---------------------------------------------------------------------------
-# kernel B: Balsara div/curl estimator sums
-# ---------------------------------------------------------------------------
-
-
-def balsara(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
-            cfg: SPHConfig):
-    """Returns (div_sum, curl_mag_sum): unnormalised estimator sums."""
-    T, S, n_seg, nt, Ns = _prep(spec)
-    dim = cfg.dim
-    dtype = pos_s.dtype
-
-    def kernel(wl_ref, wn_ref, *refs):
-        n_own = 2 * dim + 1
-        own_refs = refs[:n_own]
-        win_ref = refs[n_own]
-        div_out, curl_out = refs[n_own + 1:n_own + 3]
-        wbuf, sems = refs[-2:]
-        i = pl.program_id(0)
-        _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
-
-        xi = [_col(own_refs[d], T) for d in range(dim)]
-        vi = [_col(own_refs[dim + d], T) for d in range(dim)]
-        h_i = _col(own_refs[2 * dim], T)
-
-        divv = jnp.zeros((T, 1), dtype)
-        curl = [jnp.zeros((T, 1), dtype) for _ in range(3)]
-        for s in range(n_seg):
-            keep = _seg_keep(wl_ref, i, s, S, dtype, n_seg)
-            xj = [wbuf[s, d] for d in range(dim)]
-            vj = [wbuf[s, dim + d] for d in range(dim)]
-            m_j = wbuf[s, 2 * dim] * keep
-            dx = [xi[d] - xj[d] for d in range(dim)]
-            dv = [vi[d] - vj[d] for d in range(dim)]
-            r2 = sum(d_ * d_ for d_ in dx)
-            r = jnp.sqrt(r2)
-            g = _cubic_g(r / h_i, r, h_i, dim)
-            mw = m_j * g
-            vdotr = sum(dv[d] * dx[d] for d in range(dim))
-            divv = divv + jnp.sum(mw * vdotr, axis=1, keepdims=True)
-            if dim == 3:
-                curl[0] += jnp.sum(mw * (dv[1] * dx[2] - dv[2] * dx[1]),
-                                   axis=1, keepdims=True)
-                curl[1] += jnp.sum(mw * (dv[2] * dx[0] - dv[0] * dx[2]),
-                                   axis=1, keepdims=True)
-                curl[2] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
-                                   axis=1, keepdims=True)
-            elif dim == 2:
-                curl[0] += jnp.sum(mw * (dv[0] * dx[1] - dv[1] * dx[0]),
-                                   axis=1, keepdims=True)
-        div_out[:, :] = divv.reshape(1, T)
-        if dim == 3:
-            cm = jnp.sqrt(curl[0] ** 2 + curl[1] ** 2 + curl[2] ** 2)
-        elif dim == 2:
-            cm = jnp.abs(curl[0])
-        else:
-            cm = jnp.zeros((T, 1), dtype)
-        curl_out[:, :] = cm.reshape(1, T)
-
-    own = ([pos_s[:, d] for d in range(dim)]
-           + [vel_s[:, d] for d in range(dim)] + [h_s])
-    win = ([pos_s[:, d] for d in range(dim)]
-           + [vel_s[:, d] for d in range(dim)] + [mass_s])
-    div_sum, curl_sum = _call(kernel, spec, wd, own, win, 2, dtype,
-                              name="sphax_balsara")
-    return div_sum, curl_sum
-
-
-# ---------------------------------------------------------------------------
 # kernel C: symmetrized pressure force + artificial viscosity + du/dt
 # ---------------------------------------------------------------------------
 
@@ -669,5 +558,6 @@ def gravity(pos, mass, cfg: SPHConfig, chunk: int = 1024):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, npad), dtype)] * dim,
         interpret=_interpret(),
+        name="sphax_gravity",
     )(*[_row(a) for a in own], packed)
     return jnp.stack([o.reshape(npad)[:n] for o in outs], axis=-1)

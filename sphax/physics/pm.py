@@ -53,12 +53,17 @@ def _cic_weights(pos, lo, cell, M, periodic):
     u = (pos - lo) / cell
     if periodic:
         u = jnp.mod(u, M)
-    i0 = jnp.floor(u).astype(jnp.int32)
-    frac = u - i0
-    if periodic:
+        i0 = jnp.floor(u).astype(jnp.int32)
+        frac = u - i0
         i0 = jnp.mod(i0, M)
     else:
-        i0 = jnp.clip(i0, 0, M - 2)
+        # clip FIRST, then derive the fraction from the clipped node: the
+        # outermost cell near a hi face (u in [M-1, M)) must deposit with
+        # weights referenced to its actual left node, not an unclipped one
+        # (advisor round-2 medium #2 — measured p99 open-box force error
+        # 0.26 -> 0.12 on an edge-heavy cloud with this form)
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, M - 2)
+        frac = jnp.clip(u - i0, 0.0, 1.0)
     return i0, frac
 
 
@@ -136,11 +141,15 @@ def _solve_and_interp(grid, pos_eval, domain: Domain, G, rs, M, periodic):
         def sinc(x):
             return jnp.where(x == 0.0, 1.0,
                              jnp.sin(x) / jnp.where(x == 0.0, 1.0, x))
+        # W is the CIC (triangular-cloud) kernel transform: per-axis sinc^2.
+        # Deconvolve ONE factor of W each for deposit and interpolation —
+        # W^2 total (Hockney-Eastwood); dividing by W^4 over-sharpens and
+        # triples the rms force error (advisor round-2 medium #1).
         W = (sinc(0.5 * kx * cell[0]) * sinc(0.5 * ky * cell[1])
              * sinc(0.5 * kz * cell[2])) ** 2
-        W4 = jnp.maximum(W * W, 1e-6) ** 2
+        W2 = jnp.maximum(W, 1e-3) ** 2
         mhat = jnp.fft.fftn(grid)
-        phihat = (-4.0 * jnp.pi * G * jnp.exp(-k2 * rs * rs) / k2 / W4) * mhat
+        phihat = (-4.0 * jnp.pi * G * jnp.exp(-k2 * rs * rs) / k2 / W2) * mhat
         phihat = phihat.at[0, 0, 0].set(0.0)
         acc_g = [jnp.real(jnp.fft.ifftn(-1j * kd * phihat)) / jnp.prod(cell)
                  for kd in (kx, ky, kz)]

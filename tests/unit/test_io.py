@@ -33,6 +33,38 @@ def test_checkpoint_roundtrip_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(drv.key), np.asarray(drv2.key))
 
 
+def test_checkpoint_schema_migration(tmp_path):
+    """Old-schema checkpoints (no divv/alpha) load with fresh-state defaults;
+    newer-than-build schemas refuse (advisor round-2 low #1)."""
+    st = _tiny_state()
+    p = str(tmp_path / "old.npz")
+    checkpoint.save(p, st, t=2.0, step=7)
+    # rewrite as a schema-1 file without the v2-era fields
+    with np.load(p) as z:
+        payload = {k: z[k] for k in z.files
+                   if k not in ("state/divv", "state/alpha")}
+    meta = json.loads(bytes(payload["meta"]).decode())
+    meta["schema"] = 1
+    payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(p, **payload)
+    st2, t, step, _, _ = checkpoint.load(p)
+    assert t == 2.0 and step == 7
+    np.testing.assert_array_equal(np.asarray(st2.pos), np.asarray(st.pos))
+    np.testing.assert_array_equal(np.asarray(st2.divv),
+                                  np.zeros(st.n, np.asarray(st.pos).dtype))
+    np.testing.assert_array_equal(np.asarray(st2.alpha),
+                                  np.ones(st.n, np.asarray(st.pos).dtype))
+    # future schema refuses
+    meta["schema"] = checkpoint.SCHEMA + 1
+    payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(p, **payload)
+    try:
+        checkpoint.load(p)
+        assert False, "expected ValueError for future schema"
+    except ValueError as e:
+        assert "newer" in str(e)
+
+
 def test_checkpoint_no_drive(tmp_path):
     st = _tiny_state()
     p = str(tmp_path / "ck.npz")

@@ -39,7 +39,9 @@ def test_p3m_open_box_matches_direct_sum():
     a_p3m = np.asarray(pm.p3m_accel_dense(pos, mass, CFG, dom))
     rel = (np.linalg.norm(a_p3m - a_ref, axis=1)
            / np.linalg.norm(a_ref, axis=1))
-    assert np.sqrt(np.mean(rel ** 2)) < 8e-3, np.sqrt(np.mean(rel ** 2))
+    # measured rms 3.8e-3 / p99 1.6e-2 with the W^2 CIC deconvolution and
+    # clip-first open-box weights (round 3); gates at ~2x measured
+    assert np.sqrt(np.mean(rel ** 2)) < 7e-3, np.sqrt(np.mean(rel ** 2))
     assert np.percentile(rel, 99) < 3e-2
 
 
@@ -81,8 +83,10 @@ def test_p3m_periodic_matches_brute_ewald():
     dom = box(jnp.zeros(3), jnp.ones(3))
     a_p3m = np.asarray(pm.p3m_accel_dense(pos_j, mass_j, CFG, dom))
     rel = np.linalg.norm(a_p3m - acc, axis=1) / np.linalg.norm(acc, axis=1)
-    assert np.sqrt(np.mean(rel ** 2)) < 1.5e-2, np.sqrt(np.mean(rel ** 2))
-    assert np.percentile(rel, 99) < 5e-2
+    # measured rms 1.5e-3 / p99 4.4e-3 after the W^2 deconvolution fix
+    # (was 1.7e-2 rms dividing by W^4 — advisor round-2 medium #1)
+    assert np.sqrt(np.mean(rel ** 2)) < 3e-3, np.sqrt(np.mean(rel ** 2))
+    assert np.percentile(rel, 99) < 9e-3
 
 
 @pytest.mark.parametrize("periodic", [True, False])
