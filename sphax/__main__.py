@@ -47,6 +47,8 @@ def main(argv=None):
     resume = kv.pop("resume", None)
     profile = kv.pop("profile", 0)
     plot = kv.pop("plot", 0)
+    shards = int(kv.pop("shards", 1))        # >1: distributed wslab run
+    rebuild_every = int(kv.pop("rebuild_every", 2))  # dist structure reuse
 
     from sphax.diag import conservation
     from sphax.io import checkpoint, metrics
@@ -64,7 +66,13 @@ def main(argv=None):
         print(f"resumed from {resume}: t={t:.4f} step={step}")
 
     print(f"[{name}] N={state.n} dim={state.dim} t_end={t_end} "
-          f"device={jax.devices()[0]}")
+          f"device={jax.devices()[0]}"
+          + (f" shards={shards}" if shards > 1 else ""))
+
+    if shards > 1:
+        return _main_dist(name, prob, state, drive, t, step, t_end, out,
+                          shards, chunk, rebuild_every, metrics_every,
+                          snapshot_every, checkpoint_every, log)
 
     def run_chunk(state, drive):
         if prob.wspec is not None:
@@ -143,6 +151,66 @@ def main(argv=None):
     rec = log.log(state, prob.cfg, t, step)
     print(f"done: t={t:.4f} steps={step}; final E={rec['e_total']:.6f}; "
           f"checkpoint + metrics in {out}/")
+
+
+def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
+               chunk, rebuild_every, metrics_every, snapshot_every,
+               checkpoint_every, log):
+    """Distributed production loop (SURVEY.md §3.2 ``dist.shard(...)``):
+    wslab slab decomposition over a ``shards``-device mesh, chunked jitted
+    steps with window-structure reuse, migration/rebalancing each chunk,
+    psum'd metrics, host-gathered checkpoints. Validate without hardware
+    via ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` on CPU."""
+    import numpy as np
+
+    from sphax.dist.runner import SlabRun
+    from sphax.io import checkpoint
+
+    if len(jax.devices()) < shards:
+        raise SystemExit(
+            f"shards={shards} but only {len(jax.devices())} devices; for a "
+            "CPU dry run set XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={shards} and JAX_PLATFORMS=cpu")
+
+    run = SlabRun(state, prob.cfg, prob.domain, shards, chunk_steps=chunk,
+                  rebuild_every=rebuild_every,
+                  drive=(drive if prob.drive_spec is not None else None),
+                  drive_spec=prob.drive_spec)
+
+    def save_ckpt():
+        checkpoint.save(os.path.join(out, "checkpoint.npz"), run.gather(),
+                        t, step, (prob.drive_spec is not None) and run.drive,
+                        extra={"shards": shards})
+
+    nchunks = 0
+    while t < t_end:
+        dts = run.run_chunk()
+        t += float(np.sum(dts))
+        step += len(dts)
+        nchunks += 1
+        if nchunks % metrics_every == 0:
+            rec = log.log_record(run.metrics(t), step, state.n)
+            print(f"  t={t:.4f} step={step} "
+                  f"pss={rec['particle_steps_per_sec']:.3e} "
+                  f"E={rec['e_total']:.5f} mach={rec['mach_rms']:.2f} "
+                  f"[{shards} shards]")
+            if not rec["finite"]:
+                bad = checkpoint.verify_integrity(run.gather())
+                raise RuntimeError(f"state corrupt at step {step}: {bad}")
+        if snapshot_every and nchunks % snapshot_every == 0:
+            g = run.gather()
+            np.savez_compressed(os.path.join(out, f"snap_{step:07d}.npz"),
+                                pos=np.asarray(g.pos),
+                                vel=np.asarray(g.vel),
+                                rho=np.asarray(g.rho),
+                                u=np.asarray(g.u), t=t)
+        if checkpoint_every and nchunks % checkpoint_every == 0:
+            save_ckpt()
+
+    save_ckpt()
+    rec = log.log_record(run.metrics(t), step, state.n)
+    print(f"done: t={t:.4f} steps={step}; final E={rec['e_total']:.6f}; "
+          f"checkpoint + metrics in {out}/ ({shards} shards)")
 
 
 if __name__ == "__main__":

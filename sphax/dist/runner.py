@@ -1,0 +1,122 @@
+"""Host-side orchestration of a distributed wslab run (SURVEY.md §3.2 L7).
+
+``SlabRun`` wires the full production multi-chip loop behind one object so
+the CLI (``python -m sphax <problem> shards=N``) and tests drive the same
+path the dryrun gate exercises:
+
+    setup:  plan -> distribute -> measured wseg refinement
+    chunk:  jitted scan of KDK steps (window-structure reuse at
+            ``rebuild_every``, two-phase ppermute ghosts, pmin dt,
+            replicated OU driving) — zero host round-trips inside
+    after each chunk: on-device migration looped to convergence
+            (make_misplaced stopping criterion) + count-based cut
+            rebalancing from a psum'd histogram (the only host transfer is
+            a [ncell_ax] int array)
+    metrics: psum'd conservation scalars (make_diagnostics) — O(1) numbers
+            to the host, never a particle array
+    checkpoint: host gather of real rows (setup-path inverse); resume
+            re-distributes
+
+The chunk length is bounded by the migration contract: particles must stay
+within one slab of home between migrate calls only in the sense that the
+migrate loop ring-hops until convergence, but they must NOT outrun the
+ghost margin within a single chunk (drift < margin - 2 h_max per rebuild
+window; same Verlet-skin algebra as the single-chip engine).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sphax.configs import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.dist import wslab
+
+
+class SlabRun:
+    """One distributed simulation: sharded state + compiled step machinery."""
+
+    def __init__(self, state: ParticleState, cfg: SPHConfig, domain: Domain,
+                 n_shards: int, chunk_steps: int = 8, rebuild_every: int = 2,
+                 drive=None, drive_spec=None, h_margin: float = 1.1,
+                 rebalance_every: int = 1, **plan_kw):
+        if chunk_steps % rebuild_every:
+            chunk_steps += rebuild_every - chunk_steps % rebuild_every
+        self.cfg, self.domain = cfg, domain
+        self.n_shards = n_shards
+        self.chunk_steps = chunk_steps
+        self.rebalance_every = rebalance_every
+        self.drive, self.drive_spec = drive, drive_spec
+        self._nchunks = 0
+
+        self.mesh = wslab.make_mesh(n_shards)
+        spec = wslab.plan(domain, state.n,
+                          h_max=float(state.h.max()) * h_margin,
+                          n_shards=n_shards, **plan_kw)
+        cuts = wslab.equal_cuts(spec.ncell_ax, n_shards)
+        self.state = wslab.distribute(state, domain, self.mesh, spec, cuts)
+        self.cuts = jnp.asarray(cuts)
+        mr, gdrop = wslab.make_max_run(self.mesh, spec)(
+            self.state, self.cuts, domain)
+        if int(gdrop):
+            raise RuntimeError(
+                f"{int(gdrop)} ghosts dropped at setup; re-plan with a "
+                "larger ghost_safety")
+        self.spec = wslab.refine_wseg(spec, int(mr))
+        self._chunk = wslab.make_chunk(self.mesh, cfg, self.spec,
+                                       chunk_steps,
+                                       rebuild_every=rebuild_every,
+                                       drive_spec=drive_spec)
+        self._migrate = wslab.make_migrate(self.mesh, self.spec)
+        self._misplaced = wslab.make_misplaced(self.mesh, self.spec)
+        self._hist = wslab.make_histogram(self.mesh, self.spec)
+        self._diag = wslab.make_diagnostics(self.mesh, self.spec, cfg)
+
+    def run_chunk(self) -> np.ndarray:
+        """Advance ``chunk_steps`` steps; migrate to convergence; rebalance
+        at cadence. Returns the dt sequence. Raises on any nonzero health
+        counter (silent pair deletion is never tolerated)."""
+        if self.drive_spec is not None:
+            self.state, self.drive, dts, health = self._chunk(
+                self.state, self.cuts, self.domain, self.drive)
+        else:
+            self.state, dts, health = self._chunk(self.state, self.cuts,
+                                                  self.domain)
+        if int(health[0]):
+            raise RuntimeError(f"{int(health[0])} ghosts dropped in chunk; "
+                               "re-plan with larger ghost capacity")
+        if int(health[1]):
+            raise RuntimeError(
+                f"window structure overflow ({int(health[1])}); re-plan "
+                "with larger wseg/ghost capacities")
+        self._nchunks += 1
+        if self.rebalance_every and \
+                self._nchunks % self.rebalance_every == 0:
+            hist = np.asarray(self._hist(self.state, self.domain))
+            self.cuts = jnp.asarray(wslab.rebalance_cuts(hist, self.spec))
+        self._migrate_to_convergence()
+        return np.asarray(dts)
+
+    def _migrate_to_convergence(self):
+        for _ in range(self.n_shards):
+            self.state, dropped = self._migrate(self.state, self.cuts,
+                                                self.domain)
+            if int(dropped):
+                raise RuntimeError(
+                    f"migration dropped {int(dropped)} particles; "
+                    "re-plan with a larger migrate_frac")
+            if int(self._misplaced(self.state, self.cuts, self.domain)) == 0:
+                return
+        raise RuntimeError("migration did not converge within n_shards "
+                           "ring hops")
+
+    def metrics(self, t: float) -> dict:
+        """psum'd conservation/flow record (no particle arrays to host)."""
+        return self._diag(self.state, self.domain, t)
+
+    def gather(self) -> ParticleState:
+        """Host copy of the real rows (checkpoint / diagnostics cadence)."""
+        return wslab.gather_real(self.state)

@@ -33,12 +33,18 @@ class MetricsLogger:
 
     def log(self, state: ParticleState, cfg: SPHConfig, t: float, step: int,
             **extra) -> dict:
+        return self.log_record(conservation.summary(state, cfg, t),
+                               step, state.n, **extra)
+
+    def log_record(self, rec: dict, step: int, n: int, **extra) -> dict:
+        """Append a pre-computed record (e.g. the distributed runner's
+        psum'd summary) with throughput bookkeeping added."""
         now = time.time()
-        rec = conservation.summary(state, cfg, t)
+        rec = dict(rec)
         dsteps = step - self._last_step
         dwall = now - self._last_wall
         rec.update(step=int(step),
-                   particle_steps_per_sec=(state.n * dsteps / dwall
+                   particle_steps_per_sec=(n * dsteps / dwall
                                            if dwall > 0 and dsteps > 0 else 0.0),
                    **extra)
         self._last_wall, self._last_step = now, step

@@ -64,9 +64,7 @@ def _tile_pass(kernel_fn, wd: WindowData, spec: WindowSpec, own_fields,
     def slice_win(f, lo):
         return jax.lax.dynamic_slice_in_dim(f, lo, S, axis=0)
 
-    def body(b):
-        t0 = b * TB
-        t0 = jnp.minimum(t0, nt - TB)
+    def compute(t0):
         own = tuple(
             jax.lax.dynamic_slice_in_dim(f, t0 * T, TB * T, axis=0)
             .reshape((TB, T) + f.shape[1:]) for f in own_fields)
@@ -80,6 +78,29 @@ def _tile_pass(kernel_fn, wd: WindowData, spec: WindowSpec, own_fields,
             keep = dedup_mask(w_lo, n_seg, S)
             winf[mass_axis] = jnp.where(keep, winf[mass_axis], 0.0)
         return kernel_fn(own, tuple(winf))
+
+    zshape = jax.eval_shape(compute, jax.ShapeDtypeStruct((), jnp.int32))
+    # a zero that carries the INPUTS' device-variance: under shard_map the
+    # cond branches must agree on varying-ness, and plain jnp.zeros would
+    # be replicated while compute's outputs vary per shard
+    zvar = own_fields[0].reshape(-1)[0] * 0
+
+    def body(b):
+        t0 = jnp.minimum(b * TB, nt - TB)
+        # Every _tile_pass output channel multiplies the candidate masses,
+        # and a block whose tiles have no ACTIVE candidate range sums only
+        # zero-mass / beyond-support rows — its outputs are exactly zero.
+        # Skipping those blocks (lax.cond: one branch executes) is therefore
+        # value-identical, and in the distributed slab engine, where ~half
+        # of n_local is trash-band padding plus empty ghost capacity, it
+        # roughly halves the jnp-path pair math (the Pallas kernels get the
+        # same effect per-segment from w_nact predication).
+        nact = jax.lax.dynamic_slice_in_dim(wd.w_nact, t0, TB, axis=0)
+        return jax.lax.cond(
+            jnp.any(nact > 0), compute,
+            lambda _: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype) + zvar.astype(s.dtype),
+                zshape), t0)
 
     out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))
 
