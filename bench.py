@@ -27,9 +27,17 @@ def main():
     from sphax.neighbors import window as win
     from sphax.physics import wengine
 
-    n_side = 100  # N = 1,000,000
-    steps = 16
-    rebuild_every = 4
+    import os
+
+    # env knobs for A/B perf experiments (defaults = recorded production
+    # config; BASELINE.md documents measured variants)
+    n_side = int(os.environ.get("BENCH_NSIDE", 100))  # N = n_side^3
+    steps = int(os.environ.get("BENCH_STEPS", 16))
+    rebuild_every = int(os.environ.get("BENCH_REBUILD", 2))
+    cutoff_scale = float(os.environ.get("BENCH_CUTOFF_SCALE", 1.05))
+    h_margin = float(os.environ.get("BENCH_HMARGIN", 1.05))
+    fast_sub = int(os.environ.get("BENCH_FAST_SUB", 3))
+    rgroups = int(os.environ.get("BENCH_RGROUPS", 2))
 
     ic = turbulence.build(n_side=n_side)
     # production settings: h warm-starts from the previous step (one Newton
@@ -46,8 +54,10 @@ def main():
     # dynamically representative: seeded velocity field
     st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
                                                  st.vel.shape, jnp.float32))
-    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.15,
-                             dim=3, cutoff_scale=1.2, ghost_safety=1.4)
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * h_margin,
+                             dim=3, cutoff_scale=cutoff_scale,
+                             ghost_safety=1.4, fast_sub=fast_sub,
+                             rgroups=rgroups)
     st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
 
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,

@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 4) -> dict:
+def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 2) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -36,8 +36,11 @@ def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 4) -> dict:
                             ("pos", "vel", "mass", "u", "h")))
     st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
                                                  st.vel.shape, jnp.float32))
-    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.15,
-                             dim=3, cutoff_scale=1.2)
+    # production window config (BASELINE.md round-3 A/B): per-row-group
+    # windows over shared tile-union DMA + fine fast cells + tight slack
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.05,
+                             dim=3, cutoff_scale=1.05, ghost_safety=1.4,
+                             fast_sub=3, rgroups=2)
     st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
                                      rebuild_every=rebuild_every,

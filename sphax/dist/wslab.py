@@ -569,9 +569,13 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec, nsteps: int,
         # same update sequence from dts, which out_specs can replicate
         return st, dts.reshape(-1), hmax
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker (on by default) rejects inside
+    # shard_map — the Mosaic path (use_pallas=True) needs it off
     sm = jax.shard_map(local_chunk, mesh=mesh,
                        in_specs=(P(AXIS), P(), P(), P()),
-                       out_specs=(P(AXIS), P(), (P(), P())))
+                       out_specs=(P(AXIS), P(), (P(), P())),
+                       check_vma=False)
     jitted = jax.jit(sm)
 
     if drive_spec is None:
@@ -639,7 +643,8 @@ def make_step(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
 
     sm = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(AXIS), P(), P()),
-                       out_specs=(P(AXIS), P(), (P(), P())))
+                       out_specs=(P(AXIS), P(), (P(), P())),
+                       check_vma=False)  # pallas out_shapes have no vma
     return jax.jit(sm)
 
 

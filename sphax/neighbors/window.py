@@ -45,7 +45,9 @@ _BIG = np.int32(2**31 - 1)
 class WindowSpec:
     """Static window-structure parameters (hashable; change -> recompile)."""
 
-    res: Tuple[int, ...]          # interior cells per axis (cell >= cutoff)
+    res: Tuple[int, ...]          # interior cells per axis (transverse cells
+    #                               >= cutoff; FAST-axis cells >= cutoff /
+    #                               fast_sub)
     cutoff: float                 # neighbor search radius (>= 2 h_max)
     ghost_caps: Tuple[int, ...]   # capacity per axis PASS (one per axis; the
     #                               pass appends images at BOTH faces, so a
@@ -55,6 +57,26 @@ class WindowSpec:
     tile: int                     # rows per tile (T)
     wseg: int                     # static width of each pencil segment
     n_sorted: int                 # padded sorted-array length
+    fast_sub: int = 1             # fast-axis cell subdivision: cells are
+    #                               cutoff/fast_sub wide and windows span
+    #                               +-fast_sub cells — a finer quantization
+    #                               of the cutoff margin that trims the
+    #                               candidate over-read (the margin rounds
+    #                               to cutoff exactly instead of one full
+    #                               cell each side)
+    rgroups: int = 1              # row-groups per tile: windows are computed
+    #                               per GROUP of tile/rgroups consecutive
+    #                               sorted rows instead of per tile, so each
+    #                               group's candidate span excludes the rest
+    #                               of the tile's fast-axis run — the
+    #                               dominant term of the candidate over-read
+    #                               (a tile of 128 sorted rows spans ~10
+    #                               fine cells; its true pair range per row
+    #                               is +-cutoff ~ 2 cells). The Pallas
+    #                               kernels keep one program per 128-row
+    #                               tile (lane-tiling requires T=128 blocks)
+    #                               and statically unroll the rgroups
+    #                               sub-computations inside it.
 
     @property
     def dim(self) -> int:
@@ -67,6 +89,15 @@ class WindowSpec:
     @property
     def n_tiles(self) -> int:
         return self.n_sorted // self.tile
+
+    @property
+    def group(self) -> int:
+        """Rows per window-group (the granularity of w_lo/w_nact)."""
+        return self.tile // self.rgroups
+
+    @property
+    def n_groups(self) -> int:
+        return self.n_sorted // self.group
 
     def image_offsets(self):
         return _image_offsets(self.dim)
@@ -85,19 +116,29 @@ def _pencil_offsets(dim: int):
 
 def plan_windows(domain: Domain, h_max: float, n: int, dim: int,
                  tile: int = 128, wseg: int = 0, cutoff_scale: float = 1.0,
-                 ghost_safety: float = 2.0, seg_safety: float = 1.2) -> WindowSpec:
+                 ghost_safety: float = 2.0, seg_safety: float = 1.2,
+                 fast_sub: int = 1, rgroups: int = 1) -> WindowSpec:
     """Host-side parameter choice. cutoff = 2 h_max * cutoff_scale.
 
     wseg=0 -> auto: ~seg_safety * 3 cells' average occupancy, rounded to 128.
+    fast_sub=k subdivides the FAST-axis cells k-fold (windows then span
+    +-k fine cells = exactly one cutoff instead of one full coarse cell
+    each side — a ~10-15% candidate diet at k=2; transverse cells cannot
+    shrink below cutoff without growing the 3^(dim-1) segment count, which
+    costs more in per-segment tile-span re-reads than it saves — measured
+    algebra in NEXT.md).
     """
     lo = np.asarray(domain.lo, np.float64)
     hi = np.asarray(domain.hi, np.float64)
     ext = hi - lo
     cutoff = 2.0 * float(h_max) * cutoff_scale
     res = np.maximum(1, np.floor(ext / cutoff).astype(int))
-    if np.any(res < 2):
+    if fast_sub > 1:
+        res[-1] = max(int(np.floor(ext[-1] / (cutoff / fast_sub))), 1)
+    if np.any(res < 2) or res[-1] < 2 * fast_sub:
         # with res=1 a particle and its own periodic image can both fall
         # inside the cutoff, which the dedup mask cannot distinguish
+        # (res < 2*fast_sub is the same condition in fine-cell units)
         raise ValueError(
             f"box too small for window engine at cutoff {cutoff:.4g} "
             f"(res={tuple(res)}); use the dense or cell-list engine")
@@ -115,26 +156,32 @@ def plan_windows(domain: Domain, h_max: float, n: int, dim: int,
         cap = max(int(np.ceil(n_acc * frac * ghost_safety / 8.0) * 8), 8)
         caps.append(cap)
         n_acc += 2.0 * cap
+    if tile % (rgroups * 8):
+        raise ValueError(f"tile={tile} must be a multiple of 8*rgroups "
+                         f"(rgroups={rgroups})")
     n_ghost = 2 * sum(caps)
     n_raw = n + n_ghost
     if wseg <= 0:
         # a tile's fast-axis run spans ~tile rows + ~2.2 cells of average
-        # occupancy occ (particles per interior cell; ghost bands track it).
+        # occupancy occ (particles per interior COARSE cell; ghost bands
+        # track it; with fast_sub > 1 the margin shrinks toward one cutoff
+        # each side but the estimate stays coarse-cell conservative).
         # Tiles that CROSS a pencil boundary additionally span the boundary
         # region: both pencils' edge cells plus the ghost-image cells between
         # them, ~6 extra cells — and since some tile always crosses, wseg
         # must budget the worst case, not the mean (plan_measured refines
         # this down from the actual built structure). +128 absorbs the
         # lane-alignment of window starts (Mosaic DMA).
-        occ = n_raw / max(int(np.prod(res)), 1)
-        run_est = (tile + 8.5 * occ) * seg_safety
+        occ = n_raw * fast_sub / max(int(np.prod(res)), 1)
+        run_est = (tile // rgroups + 8.5 * occ) * seg_safety
         wseg = int(np.ceil(max(run_est, 1.0) / 128.0) * 128) + 128
     wseg = min(wseg, int(np.ceil(n_raw / 128.0) * 128))
     quantum = int(np.lcm(tile, 128))
     n_sorted = int(np.ceil(max(n_raw, wseg) / quantum) * quantum)
     return WindowSpec(res=tuple(int(r) for r in res), cutoff=float(cutoff),
                       ghost_caps=tuple(caps), tile=tile, wseg=int(wseg),
-                      n_sorted=n_sorted)
+                      n_sorted=n_sorted, fast_sub=int(fast_sub),
+                      rgroups=int(rgroups))
 
 
 class WindowData(NamedTuple):
@@ -146,12 +193,18 @@ class WindowData(NamedTuple):
     is_real:  [Ns] bool, True where the sorted row is an original particle
     pos_s:    [Ns, D] sorted extended positions (images pre-shifted)
     shift_s:  [Ns, D] image shift per sorted row (refresh pos without rebuild)
-    w_lo:     [n_tiles, n_seg] segment start row per tile (128-aligned)
-    w_nact:   [n_tiles, n_seg] per-segment ACTIVE 128-row block count — blocks
-              past the tile's true candidate range hold only provably-zero
-              rows, so Pallas kernels skip their compute entirely
-    overflow: [] tiles*segments whose true run exceeded wseg + dropped ghosts
-    max_run:  [] largest aligned window length actually required
+    w_lo:     [n_groups, n_seg] segment start row per row-GROUP (128-aligned;
+              groups are tile/rgroups consecutive sorted rows)
+    w_nact:   [n_groups, n_seg] per-segment ACTIVE 128-row block count —
+              blocks past the group's true candidate range hold only
+              provably-zero rows, so Pallas kernels skip their compute
+    t_lo:     [n_tiles, n_seg] tile-UNION window start (128-aligned) — the
+              shared DMA window each tile ships once; every group window is
+              a subrange of it (t_lo is w_lo when rgroups == 1)
+    t_nact:   [n_tiles, n_seg] active 128-blocks of the union window
+    overflow: [] tiles*segments whose true UNION run exceeded wseg + dropped
+              ghosts
+    max_run:  [] largest aligned union window length actually required
     """
 
     g: jax.Array
@@ -162,6 +215,8 @@ class WindowData(NamedTuple):
     shift_s: jax.Array
     w_lo: jax.Array
     w_nact: jax.Array
+    t_lo: jax.Array
+    t_nact: jax.Array
     overflow: jax.Array
     max_run: jax.Array
 
@@ -265,9 +320,17 @@ def build(pos, domain: Domain, spec: WindowSpec, active=None,
         bin_pos = jnp.where(clampmask, bin_pos, pos_e)
     else:
         bin_pos = pos_e
-    c = jnp.clip(jnp.floor((bin_pos - lo) / cell).astype(jnp.int32) + 1,
-                 0, res_i + 1)
-    res_ext = tuple(r + 2 for r in spec.res)
+    # ghost-cell layers per axis: transverse images lie within ONE
+    # cutoff-wide cell of a face; with fast_sub-fold finer fast cells the
+    # same cutoff band spans fast_sub fine cells, and collapsing it into
+    # one layer would break +-fast_sub adjacency for rows a few fine cells
+    # inside the box (missed image pairs) — so the fast axis gets fast_sub
+    # distinct layers each side
+    layers = np.array([1] * (dim - 1) + [spec.fast_sub], np.int32)
+    layers_j = jnp.asarray(layers)
+    c = jnp.clip(jnp.floor((bin_pos - lo) / cell).astype(jnp.int32)
+                 + layers_j, 0, res_i + 2 * layers_j - 1)
+    res_ext = tuple(r + 2 * int(l) for r, l in zip(spec.res, layers))
     strides = np.concatenate([np.cumprod(res_ext[::-1])[-2::-1], [1]])
     strides_j = jnp.asarray(strides, jnp.int32)
 
@@ -305,7 +368,13 @@ def build(pos, domain: Domain, spec: WindowSpec, active=None,
     #   min_rows first[key + delta - 1] == first[kmin + delta - 1]
     #   max_rows first[key + delta + 2] == first[kmax + delta + 2]
     # -> 2 * n_seg gathers of [n_tiles] instead of [Ns].
-    T, S, nt = spec.tile, spec.wseg, spec.n_tiles
+    # window bounds are computed per row-GROUP (tile/rgroups rows): the
+    # group's candidate span excludes the rest of the tile's fast-axis run,
+    # which is the dominant term of the candidate over-read (the Pallas
+    # kernels statically unroll the per-group windows inside each 128-row
+    # tile program)
+    T, S = spec.group, spec.wseg
+    nt = spec.n_groups
     n_seg = spec.n_seg
     ncells_ext = int(np.prod(res_ext))
     n_valid = jnp.sum(valid).astype(jnp.int32)
@@ -329,12 +398,14 @@ def build(pos, domain: Domain, spec: WindowSpec, active=None,
     kmin_t = jnp.min(jnp.where(rt, kt, _BIG), axis=1)      # [nt]
     kmax_t = jnp.max(jnp.where(rt, kt, -1), axis=1)
     has_real = kmax_t >= 0
-    fast_stride = int(strides[-1])  # == 1
+    # fast-axis reach: +-fast_sub fine cells covers >= one cutoff exactly;
+    # rows beyond it are >= fast_sub * cell_f >= cutoff away (zero support)
+    reach = spec.fast_sub
     starts, ends = [], []
     for poff in _pencil_offsets(dim):
         delta = int(np.dot(poff, strides[:-1])) if dim > 1 else 0
-        ws = first[jnp.clip(kmin_t + (delta - fast_stride), 0, ncells_ext)]
-        we = first[jnp.clip(kmax_t + (delta + fast_stride) + 1, 0,
+        ws = first[jnp.clip(kmin_t + (delta - reach), 0, ncells_ext)]
+        we = first[jnp.clip(kmax_t + (delta + reach) + 1, 0,
                             ncells_ext)]
         starts.append(jnp.where(has_real, ws, spec.n_sorted))
         ends.append(jnp.where(has_real, we, 0))
@@ -346,14 +417,36 @@ def build(pos, domain: Domain, spec: WindowSpec, active=None,
     # an extra 128 for this in plan_windows
     w_lo = jnp.clip((ws_t // 128) * 128, 0, spec.n_sorted - S)
     w_len = jnp.maximum(we_t - w_lo, 0)
-    overflow = jnp.sum(w_len > S) + ghost_drop
     w_nact = jnp.clip(-(-w_len // 128), 0, S // 128).astype(jnp.int32)
+
+    # per-TILE union of the R group windows: ONE shared DMA window per
+    # (tile, segment). The Pallas kernels ship the union once and each
+    # row-group computes only its own 128-block sub-range (offsets derived
+    # from w_lo/t_lo in the kernel glue), so rgroups > 1 trims pair math
+    # WITHOUT multiplying DMA bytes (measured: per-group DMA at R=2 shipped
+    # 2x the bytes and gave back half the compute win; per-block predicated
+    # DMA paid ~6% in issue overhead). Overflow/max_run are judged against
+    # the UNION run — that is what the static wseg must hold, and every
+    # group window is a subrange of its tile's union.
+    R = spec.rgroups
+    if R > 1:
+        ntile = spec.n_tiles
+        ws_u = jnp.min(ws_t.reshape(ntile, R, n_seg), axis=1)
+        we_u = jnp.max(we_t.reshape(ntile, R, n_seg), axis=1)
+    else:
+        ws_u, we_u = ws_t, we_t
+    t_lo = jnp.clip((ws_u // 128) * 128, 0, spec.n_sorted - S)
+    t_len = jnp.maximum(we_u - t_lo, 0)
+    t_nact = jnp.clip(-(-t_len // 128), 0, S // 128).astype(jnp.int32)
+    overflow = jnp.sum(t_len > S) + ghost_drop
+    max_run = jnp.max(we_u - jnp.clip((ws_u // 128) * 128, 0, None))
+    if R == 1:
+        t_lo, t_nact = w_lo, w_nact
 
     return WindowData(g=g, src=src, inv=inv_real[:n], is_real=is_real,
                       pos_s=pos_s, shift_s=shift_s, w_lo=w_lo, w_nact=w_nact,
-                      overflow=overflow,
-                      max_run=jnp.max(we_t - jnp.clip((ws_t // 128) * 128, 0,
-                                                      None)))
+                      t_lo=t_lo, t_nact=t_nact, overflow=overflow,
+                      max_run=max_run)
 
 
 def gather_sorted(field_orig, wd: WindowData, fill=0.0):

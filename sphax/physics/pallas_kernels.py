@@ -48,44 +48,70 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S):
-    """Copy each candidate segment of the PACKED window array into VMEM.
+def _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S):
+    """Copy each tile-UNION candidate window into VMEM (one DMA each).
 
     win_ref: [F_pad, 1, Ns] (all fields packed so a segment is ONE strided
     DMA instead of one per field — serial per-field DMAs dominated the step
-    at large N); wbuf: [n_seg, F_pad, 1, S]. All segment DMAs start before
-    any wait, overlapping their latencies.
+    at large N); wbuf: [n_seg, F_pad, 1, S]. The window is the tile-level
+    UNION of the row-group windows (WindowData.t_lo): all R groups share it
+    and compute only their own 128-block sub-ranges, so rgroups > 1 trims
+    pair math at R=1's DMA bytes. (Measured alternatives: per-group windows
+    ship ~R x the bytes; per-128-block predicated copies pay ~6% in DMA
+    issue overhead — both slower.) Fully-empty windows (trash/pad tiles,
+    distributed layouts) are skipped via wn_ref. All starts precede any
+    wait, overlapping the copy latencies.
     """
-    copies = []
+    row = i % 8
+
+    def copy(s):
+        base = pl.multiple_of(wt_ref[row, s], 128)
+        return pltpu.make_async_copy(
+            win_ref.at[:, :, pl.ds(base, S)], wbuf.at[s], sems.at[s])
+
     for s in range(n_seg):
-        base = pl.multiple_of(wl_ref[i % 8, s], 128)
-        cp = pltpu.make_async_copy(
-            win_ref.at[:, :, pl.ds(base, S)],
-            wbuf.at[s],
-            sems.at[s],
-        )
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+        @pl.when(wn_ref[row, s] > 0)
+        def _(s=s):
+            copy(s).start()
+    for s in range(n_seg):
+        @pl.when(wn_ref[row, s] > 0)
+        def _(s=s):
+            copy(s).wait()
 
 
-def _blk_keep(wl_ref, wn_ref, row, s, b, dtype, blkw, nblk):
+def _grp_when(off, nact, b, blkw):
+    """Predicate: compute-block b intersects the group's active sub-range
+    [off, off + nact) of 128-blocks. Mosaic (blkw == 128): off <= b <
+    off + nact. Interpret (one full-width block): active iff nact > 0
+    (off is normalized to 0 for empty groups in _call, and off < S/128
+    whenever nact > 0, so the second clause holds)."""
+    return ((b * blkw < (off + nact) * 128)
+            & ((b + 1) * blkw > off * 128))
+
+
+def _blk_keep(wt_ref, gof_ref, gn_ref, row, col0, s, b, dtype, blkw, nblk,
+              S):
     """First-occurrence weight (1/0) for compute-block b of segment s.
 
     A candidate row is a duplicate iff an EARLIER segment's COMPUTED range
-    contains it — exactly min(nact[sp], nblk) * blkw rows from w_lo[sp]
-    (nact*128 on the Mosaic path, where tail blocks are skipped; the full
-    window in interpret mode, where nblk == 1). Rows computed by one
-    convention and not the other contribute zero either way (outside kernel
-    support or zero mass), so all paths agree exactly.
+    contains it. On the Mosaic path a group computes exactly the blocks
+    [t_lo[sp] + off*128, + nact*128); in interpret mode (nblk == 1) it
+    computes the whole union window of any non-empty segment. Rows computed
+    by one convention and not the other contribute zero either way (outside
+    kernel support or zero mass), so all paths agree exactly. ``col0`` is
+    the row-group's column base in the [8, rgroups * n_seg] offset tables —
+    dedup is per-group, matching the jnp path's per-group dedup_mask.
     """
-    k = (wl_ref[row, s] + b * blkw
+    k = (wt_ref[row, s] + b * blkw
          + jax.lax.broadcasted_iota(jnp.int32, (1, blkw), 1))
     dup = jnp.zeros((1, blkw), jnp.bool_)
     for sp in range(s):
-        lo = wl_ref[row, sp]
-        hi = lo + jnp.minimum(wn_ref[row, sp], nblk) * blkw
+        if _interpret():
+            lo = wt_ref[row, sp]
+            hi = lo + jnp.where(gn_ref[row, col0 + sp] > 0, S, 0)
+        else:
+            lo = wt_ref[row, sp] + gof_ref[row, col0 + sp] * blkw
+            hi = lo + gn_ref[row, col0 + sp] * blkw
         dup |= (k >= lo) & (k < hi)
     return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
 
@@ -104,6 +130,13 @@ def _blocks(S):
 
 def _prep(spec: WindowSpec):
     return spec.tile, spec.wseg, spec.n_seg, spec.n_tiles, spec.n_sorted
+
+
+def _groups(spec: WindowSpec):
+    """(R, Tg): row-groups per tile and rows per group. Each 128-row tile
+    program statically unrolls R sub-computations of Tg rows, each against
+    its own per-segment windows (w_lo/w_nact column block g*n_seg..)."""
+    return spec.rgroups, spec.group
 
 
 def _row(x):
@@ -133,9 +166,12 @@ def _col(ref, T):
 def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
           extra_scratch=(), name="sphax_window_kernel"):
     T, S, n_seg, nt, Ns = _prep(spec)
-    # VMEM guard: kernel A keeps ~n_seg*(T+16)*S floats of scratch resident;
-    # past S~1536 the 16 MB scoped-VMEM budget blows. (Interpret mode on CPU
-    # has no such limit — the jnp fallback covers coarse-grid cases there.)
+    R, Tg = _groups(spec)
+    n_win = R * n_seg
+    # VMEM guard: kernel A keeps ~n_seg*(Fp + Tg + 1)*S floats of scratch
+    # resident; past S~1536 the 16 MB scoped-VMEM budget blows. (Interpret
+    # mode on CPU has no such limit — the jnp fallback covers coarse-grid
+    # cases there.)
     if S > 1536 and not _interpret():
         raise ValueError(
             f"window segments of {S} rows exceed the Pallas VMEM budget; "
@@ -146,11 +182,22 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
     Fp = -(-len(win) // 8) * 8
     packed = jnp.zeros((Fp, 1, Ns), dtype)
     packed = packed.at[:len(win), 0, :].set(jnp.stack(win))
+    # tile tables [nt, n_seg]: shared DMA windows; group tables
+    # [nt, R * n_seg] (group-major columns): each group's active 128-block
+    # sub-range [off, off + gn) within its tile's shared window
+    t_lo, t_na = wd.t_lo, wd.t_nact
+    goff = (wd.w_lo.reshape(nt, R, n_seg) - t_lo[:, None, :]) // 128
+    goff = jnp.maximum(goff, 0)
+    gn = jnp.minimum(wd.w_nact.reshape(nt, R, n_seg),
+                     jnp.maximum(S // 128 - goff, 0))
+    goff = jnp.where(gn > 0, goff, 0).reshape(nt, n_win)
+    gn = gn.reshape(nt, n_win)
     pad8 = ((0, (-nt) % 8), (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nt,),
-        in_specs=[_wl_spec(n_seg), _wl_spec(n_seg)] + [_own_spec(T)] * len(own)
+        in_specs=[_wl_spec(n_seg), _wl_spec(n_seg), _wl_spec(n_win),
+                  _wl_spec(n_win)] + [_own_spec(T)] * len(own)
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[_own_spec(T)] * n_out,
         scratch_shapes=[pltpu.VMEM((n_seg, Fp, 1, S), dtype),
@@ -163,8 +210,8 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
         out_shape=[jax.ShapeDtypeStruct((1, Ns), dtype)] * n_out,
         interpret=_interpret(),
         name=name,
-    )(jnp.pad(wd.w_lo, pad8), jnp.pad(wd.w_nact, pad8),
-      *[_row(a) for a in own], packed)
+    )(jnp.pad(t_lo, pad8), jnp.pad(t_na, pad8), jnp.pad(goff, pad8),
+      jnp.pad(gn, pad8), *[_row(a) for a in own], packed)
     return [o.reshape(Ns) for o in outs]
 
 
@@ -191,6 +238,7 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     typical occupancies roughly halves the pair math the static wseg forces.
     """
     T, S, n_seg, nt, Ns = _prep(spec)
+    R, Tg = _groups(spec)
     nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
@@ -202,144 +250,177 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     tiny = 1e-30 if dtype == jnp.float32 else 1e-300
     ncurl = {1: 0, 2: 1, 3: 3}[dim] if fuse_bals else 0
     n_acc = 2 + ((1 + ncurl) if fuse_bals else 0)
+    n_outs = 5 if fuse_bals else 3
 
-    def kernel(wl_ref, wn_ref, *refs):
+    def kernel(wt_ref, wn_ref, gof_ref, gn_ref, *refs):
         n_own = dim + 2 + (dim if fuse_bals else 0)
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
-        out_refs = refs[n_own + 1:n_own + 1 + (5 if fuse_bals else 3)]
-        wbuf, sems, rbuf, acc = refs[-4:]
+        out_refs = refs[n_own + 1:n_own + 1 + n_outs]
+        wbuf, sems, rbuf, mbuf, acc = refs[-5:]
         i = pl.program_id(0)
         row = i % 8
-        _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
+        _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S)
 
-        xi = [_col(own_refs[d], T) for d in range(dim)]
-        m_i = _col(own_refs[dim], T)
-        h_i = _col(own_refs[dim + 1], T)
-        vi = ([_col(own_refs[dim + 2 + d], T) for d in range(dim)]
-              if fuse_bals else None)
+        xi_t = [_col(own_refs[d], T) for d in range(dim)]
+        m_t = _col(own_refs[dim], T)
+        h_t = _col(own_refs[dim + 1], T)
+        vi_t = ([_col(own_refs[dim + 2 + d], T) for d in range(dim)]
+                if fuse_bals else None)
 
-        def sums(h, first=False, final=False):
-            """One walk over the active candidate blocks.
+        # statically unrolled row-group loop: group gg's Tg rows compute
+        # only their own 128-block sub-range [off, off + gn) of each SHARED
+        # tile-union window — the group's candidate span excludes the rest
+        # of the tile's fast-axis run, the dominant over-read term, while
+        # the DMA bytes stay at R=1 levels. Scratch (rbuf, mbuf, acc) is
+        # sized per group and reused sequentially; the dedup-masked masses
+        # are cached in mbuf instead of written back to wbuf, which is now
+        # shared between groups.
+        parts = [[] for _ in range(n_outs)]
+        for gg in range(R):
+            gs = slice(gg * Tg, (gg + 1) * Tg)
+            col0 = gg * n_seg
+            xi = [x[gs] for x in xi_t]
+            m_i = m_t[gs]
+            h_i = h_t[gs]
+            vi = [v[gs] for v in vi_t] if fuse_bals else None
 
-            first: also compute + cache pair distances and dedup the masses
-            (fused so the first Newton evaluation costs no extra walk).
-            final: also accumulate the Balsara div/curl estimator sums,
-            reusing this walk's q/t/dwdq (G = dwdq * invh / r exactly — the
-            r*invr roundoff is ~tiny/r^2, zero contribution at r = 0 since
-            dx = dv = 0 there).
+            def sums(h, first=False, final=False, col0=col0, xi=xi, vi=vi):
+                """One walk over the group's active candidate blocks.
 
-            Lane-wise partial sums accumulate in VMEM scratch (pl.when
-            bodies cannot carry jnp values); one cross-lane reduction each
-            at the end.
-            """
-            invh = 1.0 / h                      # [T, 1]
-            sigd = sig * invh**dim
-            do_bals = final and fuse_bals
-            kmax = n_acc if do_bals else 2
-            for k in range(kmax):
-                acc[k] = jnp.zeros((T, blkw), dtype)
-            for s in range(n_seg):
-                nact = wn_ref[row, s]
-                for b in range(nblk):
-                    @pl.when(b * blkw < nact * 128)
-                    def _(s=s, b=b):
-                        sl = slice(b * blkw, (b + 1) * blkw)
-                        if first:
-                            r2 = jnp.zeros((T, blkw), dtype)
-                            for d in range(dim):
-                                dxd = xi[d] - wbuf[s, d, :, sl]
-                                r2 = r2 + dxd * dxd
-                            invr = jax.lax.rsqrt(r2 + tiny)
-                            r = r2 * invr
-                            rbuf[s, :, sl] = r
-                            keep = _blk_keep(wl_ref, wn_ref, row, s, b,
-                                             dtype, blkw, nblk)
-                            m_j = wbuf[s, dim, :, sl] * keep
-                            wbuf[s, dim, :, sl] = m_j
-                        else:
-                            r = rbuf[s, :, sl]
-                            m_j = wbuf[s, dim, :, sl]
-                        q = r * invh
-                        t = 2.0 - q
-                        lt1 = q < 1.0
-                        live = q < 2.0
-                        f = jnp.where(lt1, 1.0 + q * q * (0.75 * q - 1.5),
-                                      0.25 * t * t * t)
-                        df = jnp.where(lt1, q * (2.25 * q - 3.0),
-                                       -0.75 * t * t)
-                        w = jnp.where(live, sigd * f, 0.0)
-                        dwdq = jnp.where(live, sigd * df, 0.0)
-                        acc[0] += m_j * w
-                        acc[1] += m_j * (-(dim * w + q * dwdq) * invh)
-                        if do_bals:
-                            if not first:
-                                invr = jax.lax.rsqrt(r * r + tiny)
-                            mw = m_j * (dwdq * invh * invr)
-                            dx = [xi[d] - wbuf[s, d, :, sl]
-                                  for d in range(dim)]
-                            dv = [vi[d] - wbuf[s, dim + 1 + d, :, sl]
-                                  for d in range(dim)]
-                            vdotr = sum(dv[d] * dx[d] for d in range(dim))
-                            acc[2] += mw * vdotr
-                            if dim == 3:
-                                acc[3] += mw * (dv[1] * dx[2] - dv[2] * dx[1])
-                                acc[4] += mw * (dv[2] * dx[0] - dv[0] * dx[2])
-                                acc[5] += mw * (dv[0] * dx[1] - dv[1] * dx[0])
-                            elif dim == 2:
-                                acc[3] += mw * (dv[0] * dx[1] - dv[1] * dx[0])
-            rho = jnp.sum(acc[0], axis=1, keepdims=True)
-            drdh = jnp.sum(acc[1], axis=1, keepdims=True)
-            return rho, drdh
+                first: also compute + cache pair distances and dedup the
+                masses (fused so the first Newton evaluation costs no extra
+                walk). final: also accumulate the Balsara div/curl estimator
+                sums, reusing this walk's q/t/dwdq (G = dwdq * invh / r
+                exactly — the r*invr roundoff is ~tiny/r^2, zero
+                contribution at r = 0 since dx = dv = 0 there).
 
-        m_safe = jnp.maximum(m_i, 1e-30)
+                Lane-wise partial sums accumulate in VMEM scratch (pl.when
+                bodies cannot carry jnp values); one cross-lane reduction
+                each at the end.
+                """
+                invh = 1.0 / h                      # [Tg, 1]
+                sigd = sig * invh**dim
+                do_bals = final and fuse_bals
+                kmax = n_acc if do_bals else 2
+                for k in range(kmax):
+                    acc[k] = jnp.zeros((Tg, blkw), dtype)
+                for s in range(n_seg):
+                    off = gof_ref[row, col0 + s]
+                    nact = gn_ref[row, col0 + s]
+                    for b in range(nblk):
+                        @pl.when(_grp_when(off, nact, b, blkw))
+                        def _(s=s, b=b, off=off, nact=nact):
+                            sl = slice(b * blkw, (b + 1) * blkw)
+                            if first:
+                                r2 = jnp.zeros((Tg, blkw), dtype)
+                                for d in range(dim):
+                                    dxd = xi[d] - wbuf[s, d, :, sl]
+                                    r2 = r2 + dxd * dxd
+                                invr = jax.lax.rsqrt(r2 + tiny)
+                                r = r2 * invr
+                                rbuf[s, :, sl] = r
+                                keep = _blk_keep(wt_ref, gof_ref, gn_ref,
+                                                 row, col0, s, b, dtype,
+                                                 blkw, nblk, S)
+                                m_j = wbuf[s, dim, :, sl] * keep
+                                mbuf[s, :, sl] = m_j
+                            else:
+                                r = rbuf[s, :, sl]
+                                m_j = mbuf[s, :, sl]
+                            q = r * invh
+                            t = 2.0 - q
+                            lt1 = q < 1.0
+                            live = q < 2.0
+                            f = jnp.where(lt1,
+                                          1.0 + q * q * (0.75 * q - 1.5),
+                                          0.25 * t * t * t)
+                            df = jnp.where(lt1, q * (2.25 * q - 3.0),
+                                           -0.75 * t * t)
+                            w = jnp.where(live, sigd * f, 0.0)
+                            dwdq = jnp.where(live, sigd * df, 0.0)
+                            acc[0] += m_j * w
+                            acc[1] += m_j * (-(dim * w + q * dwdq) * invh)
+                            if do_bals:
+                                if not first:
+                                    invr = jax.lax.rsqrt(r * r + tiny)
+                                mw = m_j * (dwdq * invh * invr)
+                                dx = [xi[d] - wbuf[s, d, :, sl]
+                                      for d in range(dim)]
+                                dv = [vi[d] - wbuf[s, dim + 1 + d, :, sl]
+                                      for d in range(dim)]
+                                vdotr = sum(dv[d] * dx[d]
+                                            for d in range(dim))
+                                acc[2] += mw * vdotr
+                                if dim == 3:
+                                    acc[3] += mw * (dv[1] * dx[2]
+                                                    - dv[2] * dx[1])
+                                    acc[4] += mw * (dv[2] * dx[0]
+                                                    - dv[0] * dx[2])
+                                    acc[5] += mw * (dv[0] * dx[1]
+                                                    - dv[1] * dx[0])
+                                elif dim == 2:
+                                    acc[3] += mw * (dv[0] * dx[1]
+                                                    - dv[1] * dx[0])
+                rho = jnp.sum(acc[0], axis=1, keepdims=True)
+                drdh = jnp.sum(acc[1], axis=1, keepdims=True)
+                return rho, drdh
 
-        def newton_update(h, rho, drdh):
-            rho = jnp.maximum(rho, 1e-30)
-            rho_h = m_safe * eta_d / h**dim
-            phi = rho - rho_h
-            dphi = drdh + dim * rho_h / h
-            dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
-            dh = jnp.clip(-phi / dphi, -0.5 * h, 0.5 * h)
-            # structural cap: windows only cover neighbours to spec.cutoff
-            return jnp.minimum(h + dh, hcap)
+            m_safe = jnp.maximum(m_i, 1e-30)
 
-        if iters:
-            rho, drdh = sums(h_i, first=True)
-            h = newton_update(h_i, rho, drdh)
-            h = jax.lax.fori_loop(
-                0, iters - 1,
-                lambda _, hh: newton_update(hh, *sums(hh)), h)
-            rho, drdh = sums(h, final=True)
-        else:
-            h = h_i
-            rho, drdh = sums(h, first=True, final=True)
-        out_refs[0][:, :] = h.reshape(1, T)
-        out_refs[1][:, :] = rho.reshape(1, T)
-        out_refs[2][:, :] = drdh.reshape(1, T)
+            def newton_update(h, rho, drdh):
+                rho = jnp.maximum(rho, 1e-30)
+                rho_h = m_safe * eta_d / h**dim
+                phi = rho - rho_h
+                dphi = drdh + dim * rho_h / h
+                dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
+                dh = jnp.clip(-phi / dphi, -0.5 * h, 0.5 * h)
+                # structural cap: windows only cover to spec.cutoff
+                return jnp.minimum(h + dh, hcap)
 
-        if fuse_bals:
-            divv = jnp.sum(acc[2], axis=1, keepdims=True)
-            out_refs[3][:, :] = divv.reshape(1, T)
-            if dim == 3:
-                c = [jnp.sum(acc[3 + k], axis=1, keepdims=True)
-                     for k in range(3)]
-                cm = jnp.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2)
-            elif dim == 2:
-                cm = jnp.abs(jnp.sum(acc[3], axis=1, keepdims=True))
+            if iters:
+                rho, drdh = sums(h_i, first=True)
+                h = newton_update(h_i, rho, drdh)
+                h = jax.lax.fori_loop(
+                    0, iters - 1,
+                    lambda _, hh: newton_update(hh, *sums(hh)), h)
+                rho, drdh = sums(h, final=True)
             else:
-                cm = jnp.zeros((T, 1), dtype)
-            out_refs[4][:, :] = cm.reshape(1, T)
+                h = h_i
+                rho, drdh = sums(h, first=True, final=True)
+            parts[0].append(h)
+            parts[1].append(rho)
+            parts[2].append(drdh)
+
+            if fuse_bals:
+                divv = jnp.sum(acc[2], axis=1, keepdims=True)
+                parts[3].append(divv)
+                if dim == 3:
+                    c = [jnp.sum(acc[3 + k], axis=1, keepdims=True)
+                         for k in range(3)]
+                    cm = jnp.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2)
+                elif dim == 2:
+                    cm = jnp.abs(jnp.sum(acc[3], axis=1, keepdims=True))
+                else:
+                    cm = jnp.zeros((Tg, 1), dtype)
+                parts[4].append(cm)
+
+        for k in range(n_outs):
+            vals = (parts[k][0] if R == 1
+                    else jnp.concatenate(parts[k], axis=0))
+            out_refs[k][:, :] = vals.reshape(1, T)
 
     own = [pos_s[:, d] for d in range(dim)] + [mass_s, h0_s]
     win = [pos_s[:, d] for d in range(dim)] + [mass_s]
     if fuse_bals:
         own += [vel_s[:, d] for d in range(dim)]
         win += [vel_s[:, d] for d in range(dim)]
-    rscratch = pltpu.VMEM((n_seg, T, S), dtype)
-    ascratch = pltpu.VMEM((n_acc, T, blkw), dtype)
-    outs = _call(kernel, spec, wd, own, win, 5 if fuse_bals else 3, dtype,
-                 extra_scratch=[rscratch, ascratch], name="sphax_h_density")
+    rscratch = pltpu.VMEM((n_seg, Tg, S), dtype)
+    mscratch = pltpu.VMEM((n_seg, 1, S), dtype)
+    ascratch = pltpu.VMEM((n_acc, Tg, blkw), dtype)
+    outs = _call(kernel, spec, wd, own, win, n_outs, dtype,
+                 extra_scratch=[rscratch, mscratch, ascratch],
+                 name="sphax_h_density")
     return tuple(outs)
 
 
@@ -360,6 +441,7 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     time, predicated on WindowData.w_nact (see solve_h_density).
     """
     T, S, n_seg, nt, Ns = _prep(spec)
+    R, Tg = _groups(spec)
     nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
@@ -380,7 +462,7 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     n_scal_win = 8 + (1 if use_bf else 0)  # m, h, invh, rho, cs, cj, gc1,
     #                                        gc2 (, bf)
 
-    def kernel(wl_ref, wn_ref, *refs):
+    def kernel(wt_ref, wn_ref, gof_ref, gn_ref, *refs):
         n_own = 2 * dim + n_scal_own
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
@@ -388,86 +470,114 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
         wbuf, sems, acc = refs[-3:]
         i = pl.program_id(0)
         row = i % 8
-        _dma_windows(wl_ref, win_ref, wbuf, sems, i, n_seg, S)
+        _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S)
 
         o = iter(range(n_own))
-        xi = [_col(own_refs[next(o)], T) for _ in range(dim)]
-        vi = [_col(own_refs[next(o)], T) for _ in range(dim)]
-        h_i = _col(own_refs[next(o)], T)
-        invh_i = _col(own_refs[next(o)], T)
-        rho_i = _col(own_refs[next(o)], T)
-        cs_i = _col(own_refs[next(o)], T)
-        ci = _col(own_refs[next(o)], T)
-        bf_i = _col(own_refs[next(o)], T) if use_bf else None
-        gc1_i = sig * invh_i ** (dim + 1)
-        gc2_i = gc1_i * invh_i
+        xi_t = [_col(own_refs[next(o)], T) for _ in range(dim)]
+        vi_t = [_col(own_refs[next(o)], T) for _ in range(dim)]
+        h_t = _col(own_refs[next(o)], T)
+        invh_t = _col(own_refs[next(o)], T)
+        rho_t = _col(own_refs[next(o)], T)
+        cs_t = _col(own_refs[next(o)], T)
+        ci_t = _col(own_refs[next(o)], T)
+        bf_t = _col(own_refs[next(o)], T) if use_bf else None
 
-        for k in range(dim + 1):
-            acc[k] = jnp.zeros((T, blkw), dtype)
+        # statically unrolled row-group loop (see solve_h_density)
+        parts = [[] for _ in range(dim + 1)]
+        for gg in range(R):
+            gs = slice(gg * Tg, (gg + 1) * Tg)
+            col0 = gg * n_seg
+            xi = [x[gs] for x in xi_t]
+            vi = [v[gs] for v in vi_t]
+            h_i = h_t[gs]
+            invh_i = invh_t[gs]
+            rho_i = rho_t[gs]
+            cs_i = cs_t[gs]
+            ci = ci_t[gs]
+            bf_i = bf_t[gs] if use_bf else None
+            gc1_i = sig * invh_i ** (dim + 1)
+            gc2_i = gc1_i * invh_i
 
-        for s in range(n_seg):
-            nact = wn_ref[row, s]
-            for b in range(nblk):
-                @pl.when(b * blkw < nact * 128)
-                def _(s=s, b=b):
-                    sl = slice(b * blkw, (b + 1) * blkw)
-                    w = iter(range(2 * dim + n_scal_win))
-                    xj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
-                    vj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
-                    keep = _blk_keep(wl_ref, wn_ref, row, s, b, dtype, blkw, nblk)
-                    m_j = wbuf[s, next(w), :, sl] * keep
-                    h_j = wbuf[s, next(w), :, sl]
-                    invh_j = wbuf[s, next(w), :, sl]
-                    rho_j = wbuf[s, next(w), :, sl]
-                    cs_j = wbuf[s, next(w), :, sl]
-                    cj = wbuf[s, next(w), :, sl]
-                    gc1_j = wbuf[s, next(w), :, sl]
-                    gc2_j = wbuf[s, next(w), :, sl]
-                    bf_j = wbuf[s, next(w), :, sl] if use_bf else None
+            for k in range(dim + 1):
+                acc[k] = jnp.zeros((Tg, blkw), dtype)
 
-                    dx = [xi[d] - xj[d] for d in range(dim)]
-                    dv = [vi[d] - vj[d] for d in range(dim)]
-                    r2 = sum(d_ * d_ for d_ in dx)
-                    invr = jax.lax.rsqrt(r2 + tiny)
-                    r = r2 * invr
+            for s in range(n_seg):
+                off = gof_ref[row, col0 + s]
+                nact = gn_ref[row, col0 + s]
+                for b in range(nblk):
+                    @pl.when(_grp_when(off, nact, b, blkw))
+                    def _(s=s, b=b, col0=col0, xi=xi, vi=vi, h_i=h_i,
+                          invh_i=invh_i, rho_i=rho_i, cs_i=cs_i, ci=ci,
+                          bf_i=bf_i, gc1_i=gc1_i, gc2_i=gc2_i):
+                        sl = slice(b * blkw, (b + 1) * blkw)
+                        w = iter(range(2 * dim + n_scal_win))
+                        xj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
+                        vj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
+                        keep = _blk_keep(wt_ref, gof_ref, gn_ref, row,
+                                         col0, s, b, dtype, blkw, nblk, S)
+                        m_j = wbuf[s, next(w), :, sl] * keep
+                        h_j = wbuf[s, next(w), :, sl]
+                        invh_j = wbuf[s, next(w), :, sl]
+                        rho_j = wbuf[s, next(w), :, sl]
+                        cs_j = wbuf[s, next(w), :, sl]
+                        cj = wbuf[s, next(w), :, sl]
+                        gc1_j = wbuf[s, next(w), :, sl]
+                        gc2_j = wbuf[s, next(w), :, sl]
+                        bf_j = wbuf[s, next(w), :, sl] if use_bf else None
 
-                    qi = r * invh_i
-                    qj = r * invh_j
-                    ti = 2.0 - qi
-                    tj = 2.0 - qj
-                    gi = jnp.where(qi < 1.0, gc2_i * (2.25 * qi - 3.0),
-                                   (-0.75) * gc1_i * (ti * ti) * invr)
-                    gi = jnp.where(qi < 2.0, gi, 0.0)
-                    gj = jnp.where(qj < 1.0, gc2_j * (2.25 * qj - 3.0),
-                                   (-0.75) * gc1_j * (tj * tj) * invr)
-                    gj = jnp.where(qj < 2.0, gj, 0.0)
-                    gbar = 0.5 * (gi + gj)
+                        dx = [xi[d] - xj[d] for d in range(dim)]
+                        dv = [vi[d] - vj[d] for d in range(dim)]
+                        r2 = sum(d_ * d_ for d_ in dx)
+                        invr = jax.lax.rsqrt(r2 + tiny)
+                        r = r2 * invr
 
-                    vdotr = sum(dv[d] * dx[d] for d in range(dim))
-                    hbar = 0.5 * (h_i + h_j)
-                    mu_den = r2 + epsv * hbar * hbar
-                    if fast:
-                        mu = hbar * vdotr * pl.reciprocal(mu_den, approx=True)
-                    else:
-                        mu = hbar * vdotr / mu_den
-                    mu = jnp.where(vdotr < 0.0, mu, 0.0)
-                    cbar = 0.5 * (cs_i + cs_j)
-                    rhobar = 0.5 * (rho_i + rho_j)
-                    if fast:
-                        Pi = ((beta * mu - alpha * cbar) * mu
-                              * pl.reciprocal(rhobar, approx=True))
-                    else:
-                        Pi = (beta * mu - alpha * cbar) * mu / rhobar
-                    if use_bf:
-                        Pi = Pi * (0.5 * (bf_i + bf_j))
+                        qi = r * invh_i
+                        qj = r * invh_j
+                        ti = 2.0 - qi
+                        tj = 2.0 - qj
+                        gi = jnp.where(qi < 1.0, gc2_i * (2.25 * qi - 3.0),
+                                       (-0.75) * gc1_i * (ti * ti) * invr)
+                        gi = jnp.where(qi < 2.0, gi, 0.0)
+                        gj = jnp.where(qj < 1.0, gc2_j * (2.25 * qj - 3.0),
+                                       (-0.75) * gc1_j * (tj * tj) * invr)
+                        gj = jnp.where(qj < 2.0, gj, 0.0)
+                        gbar = 0.5 * (gi + gj)
 
-                    fcoef = m_j * (ci * gi + cj * gj + Pi * gbar)
-                    for d in range(dim):
-                        acc[d] -= fcoef * dx[d]
-                    acc[dim] += m_j * (ci * gi + 0.5 * Pi * gbar) * vdotr
+                        vdotr = sum(dv[d] * dx[d] for d in range(dim))
+                        hbar = 0.5 * (h_i + h_j)
+                        mu_den = r2 + epsv * hbar * hbar
+                        if fast:
+                            mu = (hbar * vdotr
+                                  * pl.reciprocal(mu_den, approx=True))
+                        else:
+                            mu = hbar * vdotr / mu_den
+                        mu = jnp.where(vdotr < 0.0, mu, 0.0)
+                        cbar = 0.5 * (cs_i + cs_j)
+                        rhobar = 0.5 * (rho_i + rho_j)
+                        if fast:
+                            Pi = ((beta * mu - alpha * cbar) * mu
+                                  * pl.reciprocal(rhobar, approx=True))
+                        else:
+                            Pi = (beta * mu - alpha * cbar) * mu / rhobar
+                        if use_bf:
+                            Pi = Pi * (0.5 * (bf_i + bf_j))
+
+                        # micro-diet: ci*gi and Pi*gbar are shared between
+                        # the momentum and energy accumulations
+                        cigi = ci * gi
+                        pigb = Pi * gbar
+                        fcoef = m_j * (cigi + cj * gj + pigb)
+                        for d in range(dim):
+                            acc[d] -= fcoef * dx[d]
+                        acc[dim] += m_j * (cigi + 0.5 * pigb) * vdotr
+
+            for d in range(dim + 1):
+                parts[d].append(jnp.sum(acc[d], axis=1, keepdims=True))
 
         for d in range(dim + 1):
-            out_refs[d][:, :] = jnp.sum(acc[d], axis=1).reshape(1, T)
+            vals = (parts[d][0] if R == 1
+                    else jnp.concatenate(parts[d], axis=0))
+            out_refs[d][:, :] = vals.reshape(1, T)
 
     own = ([pos_s[:, d] for d in range(dim)]
            + [vel_s[:, d] for d in range(dim)]
@@ -477,7 +587,7 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
            + [vel_s[:, d] for d in range(dim)]
            + [mass_s, h_s, invh_s, rho_s, cs_s, ci_s, gc1_s, gc2_s]
            + ([bf_s] if use_bf else []))
-    ascratch = pltpu.VMEM((dim + 1, T, blkw), dtype)
+    ascratch = pltpu.VMEM((dim + 1, Tg, blkw), dtype)
     outs = _call(kernel, spec, wd, own, win, dim + 1, dtype,
                  extra_scratch=[ascratch], name="sphax_forces")
     acc = jnp.stack(outs[:dim], axis=-1)

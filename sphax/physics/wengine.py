@@ -56,7 +56,10 @@ def _tile_pass(kernel_fn, wd: WindowData, spec: WindowSpec, own_fields,
     pytree of [TB, T, ...]. ``mass_axis`` names the win_fields entry that
     carries the pair weight; it is zeroed on duplicate candidates.
     """
-    T, S, nt = spec.tile, spec.wseg, spec.n_tiles
+    # the jnp path maps over row-GROUPS (= tiles when spec.rgroups == 1):
+    # w_lo/w_nact are per-group, and treating each group as an independent
+    # "tile" of spec.group rows reproduces the kernels' per-group windows
+    T, S, nt = spec.group, spec.wseg, spec.n_groups
     n_seg = spec.n_seg
     TB = tile_block
     nb = -(-nt // TB)

@@ -21,13 +21,19 @@ def _setup(cfg, n_side, seed=3):
     return state, dom
 
 
+@pytest.mark.parametrize("fast_sub", [1, 2])
 @pytest.mark.parametrize("name", list(CONFIGS))
-def test_window_engine_agrees(name):
+def test_window_engine_agrees(name, fast_sub):
+    """fast_sub=2 additionally pins the fine fast-axis cells: windows span
+    +-2 half-cells (= one cutoff exactly) and the extended grid carries two
+    ghost-image layers per fast face."""
     cfg = CONFIGS[name]
+    if fast_sub == 2 and name not in ("fixed_h", "balsara", "dim2"):
+        pytest.skip("fast_sub pinned on three representative configs")
     n_side = 12 if cfg.dim == 2 else 8
     state, dom = _setup(cfg, n_side)
     spec = win.plan_windows(dom, h_max=float(state.h.max()) * 1.25,
-                            n=state.n, dim=cfg.dim)
+                            n=state.n, dim=cfg.dim, fast_sub=fast_sub)
     assert int(wengine.overflow_count(state, dom, spec)) == 0
 
     a = dense.update_derived(state, cfg, dom, block=64)
@@ -116,6 +122,38 @@ def test_pallas_kernels_agree(name):
     uscale = float(jnp.max(jnp.abs(a.du_dt))) + 1e-30
     np.testing.assert_allclose(np.asarray(b.du_dt), np.asarray(a.du_dt),
                                rtol=rtol, atol=rtol * uscale)
+
+
+@pytest.mark.parametrize("rgroups", [2, 4])
+@pytest.mark.parametrize("name", ["fixed_h", "balsara"])
+def test_row_groups_agree(name, rgroups):
+    """Per-row-group windows (rgroups > 1): each 128-row tile solves R
+    groups of 128/R rows against their own tighter per-segment windows.
+    Both the jnp path and the Pallas kernels (interpret mode, where the
+    group windows still exercise the per-group w_lo/w_nact tables and the
+    per-group dedup) must stay exact vs the dense engine."""
+    cfg = CONFIGS[name]
+    state, dom = _setup(cfg, 8)
+    spec = win.plan_windows(dom, h_max=float(state.h.max()) * 1.25,
+                            n=state.n, dim=cfg.dim, rgroups=rgroups)
+    assert spec.n_groups == spec.n_tiles * rgroups
+    assert int(wengine.overflow_count(state, dom, spec)) == 0
+
+    a = dense.update_derived(state, cfg, dom, block=64)
+    for use_pallas in (False, True):
+        b = wengine.update_derived(state, cfg, dom, spec,
+                                   use_pallas=use_pallas)
+        rtol = 1e-10
+        np.testing.assert_allclose(np.asarray(b.h), np.asarray(a.h),
+                                   rtol=rtol)
+        np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                                   rtol=rtol)
+        scale = float(jnp.max(jnp.abs(a.acc)))
+        np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                                   rtol=rtol, atol=rtol * scale)
+        uscale = float(jnp.max(jnp.abs(a.du_dt))) + 1e-30
+        np.testing.assert_allclose(np.asarray(b.du_dt), np.asarray(a.du_dt),
+                                   rtol=rtol, atol=rtol * uscale)
 
 
 def test_pallas_gravity_matches_dense():
