@@ -907,8 +907,16 @@ def rebalance_cuts(hist: np.ndarray, spec: WSlabSpec) -> np.ndarray:
     skewed that the clamp binds everywhere, the cuts stay valid (monotone,
     full cover) and balancing is best-effort within the planned envelope.
     """
-    ns = spec.n_shards
-    nc = spec.ncell_ax
+    return quantile_cuts(hist, spec.n_shards, spec.margin_cells,
+                         spec.res_max)
+
+
+def quantile_cuts(hist: np.ndarray, n_shards: int, margin_cells: int,
+                  res_max: int) -> np.ndarray:
+    """Axis-generic core of rebalance_cuts (also used by dist.pencil for
+    its two independent cut axes)."""
+    ns = n_shards
+    nc = len(hist)
     c = np.concatenate([[0], np.cumsum(np.asarray(hist, np.float64))])
     total = c[-1]
     cuts = np.zeros(ns + 1, np.int32)
@@ -918,19 +926,18 @@ def rebalance_cuts(hist: np.ndarray, spec: WSlabSpec) -> np.ndarray:
         cuts[s] = int(np.searchsorted(c, target))
     # enforce monotone widths within [margin_cells, res_max]
     for s in range(1, ns + 1):
-        lo_b = cuts[s - 1] + spec.margin_cells if s < ns + 1 else 0
-        cuts[s] = max(cuts[s], cuts[s - 1] + spec.margin_cells)
-        cuts[s] = min(cuts[s], cuts[s - 1] + spec.res_max)
+        cuts[s] = max(cuts[s], cuts[s - 1] + margin_cells)
+        cuts[s] = min(cuts[s], cuts[s - 1] + res_max)
     cuts[ns] = nc
     for s in range(ns, 0, -1):   # backward pass: keep final coverage legal
-        cuts[s - 1] = max(cuts[s - 1], cuts[s] - spec.res_max)
-        cuts[s - 1] = min(cuts[s - 1], cuts[s] - spec.margin_cells)
+        cuts[s - 1] = max(cuts[s - 1], cuts[s] - res_max)
+        cuts[s - 1] = min(cuts[s - 1], cuts[s] - margin_cells)
     cuts[0] = 0
-    if not np.all(np.diff(cuts) >= spec.margin_cells) or \
-       not np.all(np.diff(cuts) <= spec.res_max):
+    if not np.all(np.diff(cuts) >= margin_cells) or \
+       not np.all(np.diff(cuts) <= res_max):
         raise ValueError(
             f"cannot cover {nc} cells with {ns} slabs of width in "
-            f"[{spec.margin_cells}, {spec.res_max}]; re-plan with more "
+            f"[{margin_cells}, {res_max}]; re-plan with more "
             "balance_headroom")
     return cuts
 

@@ -29,6 +29,8 @@ Newton loop is a lax.fori_loop so the unroll stays ~n_seg bodies.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -110,22 +112,40 @@ def _blk_keep(wt_ref, gof_ref, gn_ref, row, col0, s, b, dtype, blkw, nblk,
             lo = wt_ref[row, sp]
             hi = lo + jnp.where(gn_ref[row, col0 + sp] > 0, S, 0)
         else:
-            lo = wt_ref[row, sp] + gof_ref[row, col0 + sp] * blkw
-            hi = lo + gn_ref[row, col0 + sp] * blkw
+            # the COMPUTED range rounds [off, off + gn) outward to blkw
+            # granularity (bb 128-blocks per compute block) — with
+            # blkw == 128 this is exactly [off, off + gn)
+            bb = blkw // 128
+            off = gof_ref[row, col0 + sp]
+            gn = gn_ref[row, col0 + sp]
+            b0 = (off // bb) * bb
+            b1 = jnp.minimum(-(-(off + gn) // bb) * bb, nblk * bb)
+            b1 = jnp.where(gn > 0, b1, b0)
+            lo = wt_ref[row, sp] + b0 * 128
+            hi = wt_ref[row, sp] + b1 * 128
         dup |= (k >= lo) & (k < hi)
     return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
 
 
 def _blocks(S):
-    """Compute-block layout: 128-wide predicated blocks on the Mosaic path
-    (skip tail blocks past the tile's true candidate range); one full-width
+    """Compute-block layout: blkw-wide predicated blocks on the Mosaic path
+    (skip blocks outside the group's true candidate range); one full-width
     block in interpret mode, where per-op overhead dominates and a fori
-    over 128-blocks would make CPU CI pathologically slow. The predicate
-    `b * blkw < 128 * nact` activates exactly the same candidate rows either
-    way (inactive rows contribute zero)."""
+    over 128-blocks would make CPU CI pathologically slow. The predicates
+    activate a superset of the same candidate rows either way (inactive
+    rows contribute zero).
+
+    SPHAX_BLKW (env, default 128) selects a wider compute block: fewer
+    predicated regions (less Mosaic branch overhead — the measured cost
+    that makes rgroups=4 lose to rgroups=2) at the price of rounding each
+    group's active range outward to blkw. Falls back to 128 when the
+    static wseg is not divisible."""
     if _interpret():
         return 1, S
-    return S // 128, 128
+    blkw = int(os.environ.get("SPHAX_BLKW", 128))
+    if blkw < 128 or S % blkw:
+        blkw = 128
+    return S // blkw, blkw
 
 
 def _prep(spec: WindowSpec):
