@@ -26,17 +26,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compilation cache (same store as __graft_entry__): the
-# suite's wall-clock on this 1-core box is dominated by XLA compiles of
-# shapes that are identical run to run, so repeat suite runs skip most of
-# that. Safe across backends — entries are keyed on program + options +
-# backend.
-try:
-    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              os.pardir, ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.abspath(_cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-except Exception:
-    pass  # older jax without the knobs: cold compiles still work
+# NOTE: the persistent XLA compilation cache is deliberately NOT enabled
+# here. Measured round 3 on this 1-core box: loading XLA:CPU AOT entries
+# is slower than recompiling (the multichip dryrun ran 281 s cold vs
+# 422 s warm; cpu_aot_loader burns minutes of sys time on machine-feature
+# mismatch checks). Cold compiles are the faster path for the CPU suite.
