@@ -34,8 +34,14 @@ def main():
     st = sphax.make_state(*(f32(ic[k]) for k in ("pos", "vel", "mass", "u", "h")))
     st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
                                                  st.vel.shape, jnp.float32))
-    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.15,
-                             dim=3, cutoff_scale=1.2, ghost_safety=1.4)
+    cutoff_scale = float(os.environ.get("BENCH_CUTOFF_SCALE", 1.05))
+    h_margin = float(os.environ.get("BENCH_HMARGIN", 1.05))
+    fast_sub = int(os.environ.get("BENCH_FAST_SUB", 3))
+    rgroups = int(os.environ.get("BENCH_RGROUPS", 2))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * h_margin,
+                             dim=3, cutoff_scale=cutoff_scale,
+                             ghost_safety=1.4, fast_sub=fast_sub,
+                             rgroups=rgroups)
     print("spec: wseg", spec.wseg, "n_tiles", spec.n_tiles, "n_sorted",
           spec.n_sorted, "res", spec.res)
     st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
