@@ -428,14 +428,7 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo0, slab_lo1,
     om_s2 = jnp.where(mass_s > 0, hyd_s[:, 4], 1.0)
 
     # ---- kernel C with exact ghost j-fields ----
-    acc_s, du_s = wengine.stage_forces(
-        wd, wspec, cfg, pos_s, vel_s, mass_s, h_s2, rho_s2, hyd_s[:, 2],
-        hyd_s[:, 3], om_s2, hyd_s[:, 5], tile_block, use_pallas)
-
-    out = jnp.stack([du_s] + [acc_s[:, d] for d in range(dim)],
-                    axis=-1)[wd.inv]
-    acc = out[:nl, 1:1 + dim]
-
+    grav = None
     if cfg.gravity:
         if cfg.grav_solver != "p3m":
             raise NotImplementedError(
@@ -443,12 +436,26 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo0, slab_lo1,
                 "direct-sum ring is slab-only; see dist.wslab)")
         from sphax.physics import pm
 
-        rs = pm.rs_traced(cfg, domain, dtype, cutoff=wspec.cutoff)
-        acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs,
+        rs_p3m = pm.rs_traced(cfg, domain, dtype, cutoff=wspec.cutoff)
+        if use_pallas:
+            # fused screened short range (see wengine.stage_forces)
+            grav = (rs_p3m, jnp.asarray(cfg.grav_eps, dtype))
+    acc_s, du_s = wengine.stage_forces(
+        wd, wspec, cfg, pos_s, vel_s, mass_s, h_s2, rho_s2, hyd_s[:, 2],
+        hyd_s[:, 3], om_s2, hyd_s[:, 5], tile_block, use_pallas, grav=grav)
+
+    out = jnp.stack([du_s] + [acc_s[:, d] for d in range(dim)],
+                    axis=-1)[wd.inv]
+    acc = out[:nl, 1:1 + dim]
+
+    if cfg.gravity:
+        acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs_p3m,
                               axis_name=AXES)
-        short_s = wengine.gravity_short_pass(wd, wspec, pos_s, mass_s,
-                                             cfg, domain, tile_block)
-        acc = acc + acc_m + short_s[wd.inv][:nl]
+        acc = acc + acc_m
+        if grav is None:
+            short_s = wengine.gravity_short_pass(wd, wspec, pos_s, mass_s,
+                                                 cfg, domain, tile_block)
+            acc = acc + short_s[wd.inv][:nl]
 
     return st._replace(h=loc(h_c), rho=loc(rho_c), P=loc(P_c),
                        cs=loc(cs_c), omega=loc(om_c), du_dt=loc(out[:, 0]),

@@ -413,9 +413,17 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo, cfg: SPHConfig,
     om_s2 = jnp.where(mass_s > 0, hyd_s[:, 4], 1.0)
 
     # ---- kernel C with exact ghost j-fields ----
+    grav = None
+    if cfg.gravity and cfg.grav_solver == "p3m":
+        from sphax.physics import pm
+
+        rs_p3m = pm.rs_traced(cfg, domain, dtype, cutoff=wspec.cutoff)
+        if use_pallas:
+            # fused screened short range (see wengine.stage_forces)
+            grav = (rs_p3m, jnp.asarray(cfg.grav_eps, dtype))
     acc_s, du_s = wengine.stage_forces(
         wd, wspec, cfg, pos_s, vel_s, mass_s, h_s2, rho_s2, hyd_s[:, 2],
-        hyd_s[:, 3], om_s2, hyd_s[:, 5], tile_block, use_pallas)
+        hyd_s[:, 3], om_s2, hyd_s[:, 5], tile_block, use_pallas, grav=grav)
 
     out = jnp.stack([du_s] + [acc_s[:, d] for d in range(dim)],
                     axis=-1)[wd.inv]                              # [nc, 1+D]
@@ -429,14 +437,13 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo, cfg: SPHConfig,
             # short-range rides this shard's window candidates (ghosts from
             # the ppermute margin >= cutoff >= 4.5 r_s cover every
             # cross-boundary pair)
-            from sphax.physics import pm
-
-            rs = pm.rs_traced(cfg, domain, dtype, cutoff=wspec.cutoff)
-            acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs,
+            acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs_p3m,
                                   axis_name=AXIS)
-            short_s = wengine.gravity_short_pass(wd, wspec, pos_s, mass_s,
-                                                 cfg, domain, tile_block)
-            acc = acc + acc_m + short_s[wd.inv][:nl]
+            acc = acc + acc_m
+            if grav is None:
+                short_s = wengine.gravity_short_pass(
+                    wd, wspec, pos_s, mass_s, cfg, domain, tile_block)
+                acc = acc + short_s[wd.inv][:nl]
         else:
             acc = acc + _gravity_ring(st.pos, st.mass, cuts, cfg, domain,
                                       spec, use_pallas)

@@ -184,7 +184,10 @@ def _col(ref, T):
 
 
 def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
-          extra_scratch=(), name="sphax_window_kernel"):
+          extra_scratch=(), name="sphax_window_kernel", scalars=None):
+    """``scalars`` (optional [k] array): traced per-call scalars (e.g. the
+    P3M split scale) shipped to every program as one (1, k) SMEM row,
+    appearing as the ref right after the four window tables."""
     T, S, n_seg, nt, Ns = _prep(spec)
     R, Tg = _groups(spec)
     n_win = R * n_seg
@@ -213,11 +216,16 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
     goff = jnp.where(gn > 0, goff, 0).reshape(nt, n_win)
     gn = gn.reshape(nt, n_win)
     pad8 = ((0, (-nt) % 8), (0, 0))
+    sc_in, sc_spec = (), ()
+    if scalars is not None:
+        sc_in = (scalars.astype(dtype).reshape(1, -1),)
+        sc_spec = (pl.BlockSpec((1, scalars.shape[0]), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nt,),
         in_specs=[_wl_spec(n_seg), _wl_spec(n_seg), _wl_spec(n_win),
-                  _wl_spec(n_win)] + [_own_spec(T)] * len(own)
+                  _wl_spec(n_win)] + list(sc_spec) + [_own_spec(T)] * len(own)
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[_own_spec(T)] * n_out,
         scratch_shapes=[pltpu.VMEM((n_seg, Fp, 1, S), dtype),
@@ -231,7 +239,7 @@ def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
         interpret=_interpret(),
         name=name,
     )(jnp.pad(t_lo, pad8), jnp.pad(t_na, pad8), jnp.pad(goff, pad8),
-      jnp.pad(gn, pad8), *[_row(a) for a in own], packed)
+      jnp.pad(gn, pad8), *sc_in, *[_row(a) for a in own], packed)
     return [o.reshape(Ns) for o in outs]
 
 
@@ -450,7 +458,7 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
 
 
 def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
-           rho_s, P_s, cs_s, om_s, bf_s, cfg: SPHConfig):
+           rho_s, P_s, cs_s, om_s, bf_s, cfg: SPHConfig, grav=None):
     """Returns (acc_s [Ns, D], du_s [Ns]). Same math as pairs.force_terms.
 
     Flop diet: every per-pair divide except the two genuinely pairwise ones
@@ -459,6 +467,15 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     shipped as window fields for the j side / [T,1] columns for the i side,
     and r, 1/r come from one rsqrt. Compute is blocked 128 candidates at a
     time, predicated on WindowData.w_nact (see solve_h_density).
+
+    ``grav=(rs, eps)`` (traced scalars) FUSES the screened P3M short-range
+    gravity (pm.short_range_factor: erfc Ewald split + Plummer softening)
+    into the same pair walk — the pos/mass windows are already resident in
+    VMEM and the ~10 extra flops/pair ride the same accumulator, so the
+    separate jnp tile walk (wengine.gravity_short_pass, measured at several
+    SPH-steps' cost per call at N=1e6) disappears from the TPU path. The
+    4.5 r_s screen tail fits inside spec.cutoff by pm.rs_traced's clamp;
+    pairs beyond it are hard-cut exactly as in the jnp pass.
     """
     T, S, n_seg, nt, Ns = _prep(spec)
     R, Tg = _groups(spec)
@@ -471,6 +488,15 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
                          float(cfg.eps_visc))
     sig = float(K.sigma(dim))
     tiny = 1e-30 if dtype == jnp.float32 else 1e-300
+    scalars = None
+    if grav is not None:
+        rs, geps = (jnp.asarray(v, dtype) for v in grav)
+        # per-pair form needs only these three: x = r * sc0,
+        # screen = erfc(x) + r * sc1 * exp(-x^2), soft = rsqrt(r2 + sc2)^3
+        scalars = jnp.stack([0.5 / rs, 1.0 / (rs * jnp.sqrt(jnp.pi)),
+                             geps * geps])
+        Gc = float(cfg.G)
+        rcut2 = float(spec.cutoff) ** 2
 
     # per-particle hoisted fields (one cheap [Ns] pass each)
     invh_s = 1.0 / h_s
@@ -483,6 +509,9 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     #                                        gc2 (, bf)
 
     def kernel(wt_ref, wn_ref, gof_ref, gn_ref, *refs):
+        if grav is not None:
+            sc_ref, refs = refs[0], refs[1:]
+            g_x, g_sp, g_e2 = sc_ref[0, 0], sc_ref[0, 1], sc_ref[0, 2]
         n_own = 2 * dim + n_scal_own
         own_refs = refs[:n_own]
         win_ref = refs[n_own]
@@ -586,7 +615,31 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
                         # the momentum and energy accumulations
                         cigi = ci * gi
                         pigb = Pi * gbar
-                        fcoef = m_j * (cigi + cj * gj + pigb)
+                        fsum = cigi + cj * gj + pigb
+                        if grav is not None:
+                            # fused screened P3M short range: hard-cut at
+                            # the structure's coverage radius (exactly the
+                            # jnp gravity_short_pass convention). Mosaic
+                            # has no erfc lowering, so the TPU path uses
+                            # Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7 =
+                            # fp32-exact; shares one exp with the deriv
+                            # term); interpret mode keeps the exact erfc
+                            # so x64 parity vs the jnp walk holds at 1e-10.
+                            x = r * g_x
+                            e = jnp.exp(-x * x)
+                            if _interpret():
+                                screen = jax.lax.erfc(x) + r * g_sp * e
+                            else:
+                                t_ = 1.0 / (1.0 + 0.3275911 * x)
+                                p_ = t_ * (0.254829592 + t_ * (
+                                    -0.284496736 + t_ * (1.421413741 + t_ * (
+                                        -1.453152027 + t_ * 1.061405429))))
+                                screen = e * (p_ + r * g_sp)
+                            tg = jax.lax.rsqrt(r2 + g_e2)
+                            gco = jnp.where((r2 > 0.0) & (r2 <= rcut2),
+                                            screen * (tg * tg * tg), 0.0)
+                            fsum = fsum + Gc * gco
+                        fcoef = m_j * fsum
                         for d in range(dim):
                             acc[d] -= fcoef * dx[d]
                         acc[dim] += m_j * (cigi + 0.5 * pigb) * vdotr
@@ -609,7 +662,8 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
            + ([bf_s] if use_bf else []))
     ascratch = pltpu.VMEM((dim + 1, Tg, blkw), dtype)
     outs = _call(kernel, spec, wd, own, win, dim + 1, dtype,
-                 extra_scratch=[ascratch], name="sphax_forces")
+                 extra_scratch=[ascratch], name="sphax_forces",
+                 scalars=scalars)
     acc = jnp.stack(outs[:dim], axis=-1)
     return acc, outs[dim]
 

@@ -61,7 +61,11 @@ def _tile_pass(kernel_fn, wd: WindowData, spec: WindowSpec, own_fields,
     # "tile" of spec.group rows reproduces the kernels' per-group windows
     T, S, nt = spec.group, spec.wseg, spec.n_groups
     n_seg = spec.n_seg
-    TB = tile_block
+    # clamp the block so the live [TB, n_seg * S] per-field intermediates
+    # stay cache-sized: tiny problems plan whole-array segments (wseg ~
+    # n_sorted), where TB=16 was measured 20x slower than TB=4 on this
+    # path (pure cache thrash, not compile)
+    TB = max(1, min(tile_block, 600_000 // (n_seg * S)))
     nb = -(-nt // TB)
 
     def slice_win(f, lo):
@@ -308,15 +312,19 @@ def stage_density(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
 
 def stage_forces(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
                  h_s, rho_s, P_s, cs_s, om_s, bf_s, tile_block: int = 16,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, grav=None):
     """Force stage: symmetrized pressure + viscosity + du/dt (sorted order).
 
-    All j-side inputs must already be owner-correct on every sorted row."""
+    All j-side inputs must already be owner-correct on every sorted row.
+    ``grav=(rs, eps)`` fuses the screened P3M short-range gravity into the
+    Pallas pair walk (Pallas path only — the jnp path keeps the separate
+    ``gravity_short_pass``; callers pass grav only when use_pallas)."""
     if use_pallas:
         from sphax.physics import pallas_kernels as pk
 
         return pk.forces(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
-                         P_s, cs_s, om_s, bf_s, cfg)
+                         P_s, cs_s, om_s, bf_s, cfg, grav=grav)
+    assert grav is None, "P3M fusion is a Pallas-path feature"
     return force_pass(wd, spec, pos_s, vel_s, mass_s, h_s, rho_s,
                       P_s, cs_s, om_s, bf_s, cfg, tile_block)
 
@@ -351,9 +359,19 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
     h_s, rho_s, om_s, bf_s = (mirrored[:, 0], mirrored[:, 1], mirrored[:, 2],
                               mirrored[:, 3])
     P_s, cs_s = eos(rho_s, u_s, cfg)
+    grav = None
+    if cfg.gravity and cfg.grav_solver == "p3m":
+        from sphax.physics import pm
+
+        rs_p3m = pm.rs_traced(cfg, domain, pos_s.dtype, cutoff=spec.cutoff)
+        if use_pallas:
+            # fuse the screened short range into the Pallas force walk
+            # (windows already resident; the jnp path keeps the separate
+            # gravity_short_pass below)
+            grav = (rs_p3m, jnp.asarray(cfg.grav_eps, pos_s.dtype))
     acc_s, du_s = stage_forces(wd, spec, cfg, pos_s, vel_s, mass_s, h_s,
                                rho_s, P_s, cs_s, om_s, bf_s, tile_block,
-                               use_pallas)
+                               use_pallas, grav=grav)
 
     if cfg.gravity:
         if cfg.grav_solver == "p3m":
@@ -361,13 +379,12 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
             # the SAME window candidates as the SPH forces. Proper Ewald
             # boundary conditions on periodic boxes (unlike the min-image
             # direct sum), free-space Hockney convolution on open ones.
-            from sphax.physics import pm
-
-            rs = pm.rs_traced(cfg, domain, pos_s.dtype, cutoff=spec.cutoff)
-            acc_g = pm.mesh_accel(state.pos, state.mass, cfg, domain, rs=rs)
-            short_s = gravity_short_pass(wd, spec, pos_s, mass_s, cfg,
-                                         domain, tile_block)
-            acc_g = acc_g + short_s[wd.inv]
+            acc_g = pm.mesh_accel(state.pos, state.mass, cfg, domain,
+                                  rs=rs_p3m)
+            if grav is None:
+                short_s = gravity_short_pass(wd, spec, pos_s, mass_s, cfg,
+                                             domain, tile_block)
+                acc_g = acc_g + short_s[wd.inv]
         elif use_pallas and not any(domain.periodic_axes(state.dim)):
             # direct sum via the Pallas kernel (open-boundary convention)
             from sphax.physics import pallas_kernels as pk

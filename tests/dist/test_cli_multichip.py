@@ -8,6 +8,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from sphax.io import checkpoint
 
@@ -62,6 +63,7 @@ def test_cli_turb_shards_matches_single_device(tmp_path):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cli_dist_resume(tmp_path):
     """A distributed run resumes from its own checkpoint and keeps going."""
     from sphax.__main__ import main

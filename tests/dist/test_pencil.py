@@ -47,7 +47,8 @@ def _compare(got, ref, dom, fields=("vel", "u", "h", "rho", "P", "acc")):
                                    err_msg=f)
 
 
-@pytest.mark.parametrize("name", list(PENCIL_CONFIGS))
+@pytest.mark.parametrize("name", [
+    "fixed_h", pytest.param("gradh_balsara", marks=pytest.mark.slow)])
 def test_pencil_step_matches_single_device(name):
     cfg = PENCIL_CONFIGS[name]
     assert jax.device_count() >= 8, "conftest must provide 8 fake devices"
@@ -60,7 +61,10 @@ def test_pencil_step_matches_single_device(name):
         ref, dt = leapfrog.step(ref, cfg, dom, engine, wrap=False)
         ref_dts.append(float(dt))
 
-    mesh, spec, cuts0, cuts1 = _setup_pencil(st, dom)
+    # default tier runs the cheapest mesh that still exercises both cut
+    # axes + corner ghosts (2x2); the slow config keeps the uneven 2x4
+    ns0, ns1 = (2, 2) if name == "fixed_h" else (2, 4)
+    mesh, spec, cuts0, cuts1 = _setup_pencil(st, dom, ns0=ns0, ns1=ns1)
     sh = pencil.distribute(engine(st), dom, mesh, spec, np.asarray(cuts0),
                            np.asarray(cuts1))
     mr, gdrop = pencil.make_max_run(mesh, spec)(sh, cuts0, cuts1, dom)
@@ -78,6 +82,7 @@ def test_pencil_step_matches_single_device(name):
     _compare(pencil.gather_real(sh), ref, dom)
 
 
+@pytest.mark.slow
 def test_pencil_chunk_reuse_matches_single_device():
     """make_chunk with rebuild_every=2: two-hop routes + window structure
     reused across steps must still match the per-step-rebuilt single-device

@@ -36,7 +36,12 @@ DIST_CONFIGS = {
 }
 
 
-@pytest.mark.parametrize("name", list(DIST_CONFIGS))
+# slab.py is the simple equal-extent FALLBACK engine (wslab is production):
+# one default config pins it; the rest of the matrix runs in the slow tier
+@pytest.mark.parametrize("name", [
+    "fixed_h",
+    pytest.param("gradh_balsara", marks=pytest.mark.slow),
+    pytest.param("isothermal", marks=pytest.mark.slow)])
 def test_dist_step_matches_single_device(name):
     cfg = DIST_CONFIGS[name]
     assert jax.device_count() >= 8, "conftest must provide 8 fake devices"
@@ -79,6 +84,7 @@ def test_dist_step_matches_single_device(name):
                                    err_msg=f)
 
 
+@pytest.mark.slow
 def test_chunked_dist_run_and_redistribute():
     """Multi-chunk run with redistribution stays finite and conserves mass."""
     cfg = DIST_CONFIGS["isothermal"]

@@ -3,6 +3,8 @@
 Same bar as the cell-list engine (SURVEY.md §4.2.2): the window structure
 must find every true neighbor pair, so x64 agreement at ~1e-10 proves it.
 """
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -10,7 +12,16 @@ import pytest
 from sphax import SPHConfig, box, make_state
 from sphax.neighbors import window as win
 from sphax.physics import dense, wengine
-from tests.parity.test_dense_vs_reference import CONFIGS, make_problem
+from tests.parity.test_dense_vs_reference import make_problem
+from tests.parity.test_dense_vs_reference import CONFIGS as _REF_CONFIGS
+
+# Engine-vs-engine exactness holds at ANY Newton iteration count (both
+# sides run the identical iteration), so the float64-convergence iters=10
+# of the reference-parity CONFIGS would only inflate trace size (jnp path)
+# and interpret runtime (Pallas path) here — test_dense_vs_reference keeps
+# the full-depth reference gate.
+CONFIGS = {k: (dataclasses.replace(c, newton_iters=2)
+               if c.adaptive_h else c) for k, c in _REF_CONFIGS.items()}
 
 
 def _setup(cfg, n_side, seed=3):
@@ -21,8 +32,17 @@ def _setup(cfg, n_side, seed=3):
     return state, dom
 
 
-@pytest.mark.parametrize("fast_sub", [1, 2])
-@pytest.mark.parametrize("name", list(CONFIGS))
+# default tier: one config per distinct feature path through the window
+# engine (fixed h / adaptive+balsara / 2D / gravity) + one fast_sub rep;
+# the remaining matrix entries re-pin the same code with pricier compiles
+_FAST = {("fixed_h", 1), ("balsara", 1), ("dim2", 1), ("gravity", 1),
+         ("dim2", 2)}
+
+
+@pytest.mark.parametrize("name,fast_sub", [
+    ((name, fs) if (name, fs) in _FAST
+     else pytest.param(name, fs, marks=pytest.mark.slow))
+    for fs in (1, 2) for name in CONFIGS])
 def test_window_engine_agrees(name, fast_sub):
     """fast_sub=2 additionally pins the fine fast-axis cells: windows span
     +-2 half-cells (= one cutoff exactly) and the extended grid carries two
@@ -97,8 +117,10 @@ def test_overflow_detected_when_wmax_too_small():
     assert int(wengine.overflow_count(state, dom, spec)) > 0
 
 
-@pytest.mark.parametrize("name", ["fixed_h", "gradh", "balsara", "isothermal",
-                                  "dim2"])
+@pytest.mark.parametrize("name", [
+    "fixed_h", "balsara", "dim2",
+    pytest.param("gradh", marks=pytest.mark.slow),
+    pytest.param("isothermal", marks=pytest.mark.slow)])
 def test_pallas_kernels_agree(name):
     """Pallas kernels (interpret mode on CPU) == jnp window path == dense."""
     cfg = CONFIGS[name]
@@ -124,6 +146,12 @@ def test_pallas_kernels_agree(name):
                                rtol=rtol, atol=rtol * uscale)
 
 
+# slow tier: the interpret-mode row-group walks re-run the FULL union
+# window per group (R x the pair math of rgroups=1), so these are the
+# priciest parity entries; the production rgroups=2 Mosaic path is pinned
+# on-chip every tpu_tests run (test_mosaic_kernels_match_jnp_window plans
+# with rgroups=2) and by the bench's h-residual/overflow asserts
+@pytest.mark.slow
 @pytest.mark.parametrize("rgroups", [2, 4])
 @pytest.mark.parametrize("name", ["fixed_h", "balsara"])
 def test_row_groups_agree(name, rgroups):
@@ -154,6 +182,32 @@ def test_row_groups_agree(name, rgroups):
         uscale = float(jnp.max(jnp.abs(a.du_dt))) + 1e-30
         np.testing.assert_allclose(np.asarray(b.du_dt), np.asarray(a.du_dt),
                                    rtol=rtol, atol=rtol * uscale)
+
+
+def test_p3m_fused_short_range_agrees():
+    """The screened P3M short-range fused into Pallas kernel C must equal
+    the jnp path's separate gravity_short_pass walk: same window candidate
+    set (the r <= cutoff hard cut makes the wider interpret walk and the
+    tighter group walk agree exactly), same dedup, same erfc/softening
+    formula (pm.short_range_factor)."""
+    cfg = SPHConfig(dim=3, adaptive_h=True, newton_iters=2, gravity=True,
+                    grav_solver="p3m", G=1.3, grav_eps=0.01, grav_mesh=16)
+    state, dom = _setup(cfg, 8)
+    spec = win.plan_windows(dom, h_max=float(state.h.max()) * 1.25,
+                            n=state.n, dim=3)
+    assert int(wengine.overflow_count(state, dom, spec)) == 0
+    # tile_block=4: this small problem plans whole-array window segments
+    # (wseg ~ n_sorted), so the jnp walk's live [TB, n_seg*wseg] x64
+    # intermediates must stay cache-sized (TB=16 measured 20x slower here)
+    a = wengine.update_derived(state, cfg, dom, spec, use_pallas=False,
+                               tile_block=4)
+    b = wengine.update_derived(state, cfg, dom, spec, use_pallas=True,
+                               tile_block=4)
+    scale = float(jnp.max(jnp.abs(a.acc)))
+    np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                               rtol=1e-10, atol=1e-10 * scale)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                               rtol=1e-10)
 
 
 def test_pallas_gravity_matches_dense():

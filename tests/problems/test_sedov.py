@@ -1,6 +1,7 @@
 """Sedov-Taylor blast gate: shock radius vs R(t) = xi (E t^2 / rho)^(1/5)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import sphax
 from sphax.diag import conservation
@@ -39,6 +40,8 @@ def test_sedov_shock_radius():
     assert abs(e1 - e0) / e0 < 2e-2
 
 
+@pytest.mark.slow  # long x64 Sedov run; MM alpha(t) keeps its default
+# gates via the lockstep parity test and the wslab mm_visc dist config
 def test_sedov_morris_monaghan_variant():
     """Sedov with the Morris-Monaghan alpha(t) switch (SURVEY §2.1.6, C8):
     the blast's convergent front must raise alpha from alpha_min toward

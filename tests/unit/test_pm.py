@@ -45,6 +45,8 @@ def test_p3m_open_box_matches_direct_sum():
     assert np.percentile(rel, 99) < 3e-2
 
 
+@pytest.mark.slow  # brute Ewald images: inherently minutes; the cheap
+# open-box direct-sum + momentum + Evrard-variant gates stay default
 def test_p3m_periodic_matches_brute_ewald():
     pos_j, mass_j = _cloud(n=500)
     pos, mass = np.asarray(pos_j), np.asarray(mass_j)
@@ -99,6 +101,9 @@ def test_p3m_momentum_conservation(periodic):
     assert np.all(np.abs(ptot) < 2e-3 * scale), (ptot, scale)
 
 
+@pytest.mark.slow  # jnp-window-p3m compile dominates; the default-tier
+# pin of p3m-through-the-window-engine is the fused-kernel parity test
+# (tests/parity/test_window_vs_dense.py::test_p3m_fused_short_range_agrees)
 def test_p3m_window_engine_matches_dense_path():
     """The window-engine short-range pass == the dense short-range pass
     (same split), so the full engines agree on forces."""
@@ -120,7 +125,7 @@ def test_p3m_window_engine_matches_dense_path():
     dom = box(jnp.zeros(3), jnp.ones(3))
     a = dense.update_derived(st, cfg, dom, block=64)
     spec = win.plan_windows(dom, h_max=float(st.h.max()) * 1.3, n=n, dim=3)
-    b = wengine.update_derived(st, cfg, dom, spec)
+    b = wengine.update_derived(st, cfg, dom, spec, tile_block=4)
     scale = float(jnp.max(jnp.abs(a.acc)))
     # the two short-range paths differ only by the window's hard cutoff at
     # spec.cutoff (split residual ~1e-3) and rs clamping; same mesh

@@ -44,6 +44,26 @@ CFG = SPHConfig(dim=3, adaptive_h=True, newton_iters=4, grad_h=True,
                 balsara=True, mm_visc=True)
 
 
+def test_production_engine_nan_clean_under_debug_nans(debug_nans):
+    """Default tier: the PRODUCTION window engine (guard floors, pads,
+    ghosts, trash rows) + one KDK step of the dense engine under the
+    sanitizer. The full every-engine sweep is the slow-tier twin below
+    (each engine recompiles from scratch under jax_debug_nans, which made
+    the combined test the single most expensive unit test)."""
+    st, dom = _state()
+    spec = win.plan_windows(dom, h_max=float(st.h.max()) * 1.3, n=st.n,
+                            dim=3)
+    outw = wengine.update_derived(st, CFG, dom, spec,
+                                  tile_block=4)
+    assert bool(jnp.isfinite(outw.rho).all())
+    st2, _ = leapfrog.step(outw, CFG, dom,
+                           lambda s: wengine.update_derived(s, CFG, dom,
+                                                            spec,
+                                                            tile_block=4))
+    assert bool(jnp.isfinite(st2.rho).all())
+
+
+@pytest.mark.slow
 def test_engines_nan_clean_under_debug_nans(debug_nans):
     st, dom = _state()
     out = dense.update_derived(st, CFG, dom, block=64)
@@ -58,7 +78,8 @@ def test_engines_nan_clean_under_debug_nans(debug_nans):
 
     spec = win.plan_windows(dom, h_max=float(st.h.max()) * 1.3, n=st.n,
                             dim=3)
-    outw = wengine.update_derived(st, CFG, dom, spec)
+    outw = wengine.update_derived(st, CFG, dom, spec,
+                                  tile_block=4)
     assert bool(jnp.isfinite(outw.rho).all())
 
 

@@ -44,8 +44,11 @@ def test_mosaic_kernels_match_jnp_window(name, cfg):
     st, dom = _turb_state()
     st = st._replace(alpha=0.2 + 0.8 * jax.random.uniform(
         jax.random.PRNGKey(7), (st.n,), jnp.float32))
+    # rgroups=2 = the production bench config: this is the default-tier pin
+    # of the per-row-group Mosaic path (the interpret-mode row-group parity
+    # lives in the CPU suite's slow tier)
     spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.2,
-                             dim=3, cutoff_scale=1.2)
+                             dim=3, cutoff_scale=1.2, rgroups=2)
     a = wengine.update_derived(st, cfg, dom, spec, use_pallas=False)
     b = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
     for f in ("h", "rho", "P", "omega", "du_dt", "divv"):
@@ -56,6 +59,26 @@ def test_mosaic_kernels_match_jnp_window(name, cfg):
     scale = np.abs(np.asarray(a.acc)).max()
     np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
                                rtol=RTOL, atol=RTOL * scale)
+
+
+def test_mosaic_p3m_fused_short_range():
+    """The screened P3M short-range FUSED into Mosaic kernel C (round-3)
+    must match the jnp window path (separate gravity_short_pass + exact
+    erfc) on-chip — this pins both the A&S 7.1.26 erfc approximation
+    (|err| <= 1.5e-7, below fp32 roundoff of the pair sums) and the fused
+    accumulation against the reference formula."""
+    st, dom = _turb_state(n_side=24, seed=3)
+    cfg = SPHConfig(dim=3, adaptive_h=True, newton_iters=2, gravity=True,
+                    grav_solver="p3m", G=1.3, grav_eps=0.005, grav_mesh=32)
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.2,
+                             dim=3, cutoff_scale=1.2)
+    a = wengine.update_derived(st, cfg, dom, spec, use_pallas=False)
+    b = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
+    scale = np.abs(np.asarray(a.acc)).max()
+    np.testing.assert_allclose(np.asarray(b.acc), np.asarray(a.acc),
+                               rtol=RTOL, atol=RTOL * scale)
+    np.testing.assert_allclose(np.asarray(b.rho), np.asarray(a.rho),
+                               rtol=RTOL)
 
 
 def test_mosaic_gravity_kernel():
