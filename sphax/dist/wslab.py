@@ -287,11 +287,17 @@ def _perms(ns: int):
             [(s, (s + 1) % ns) for s in range(ns)])
 
 
-def _exchange(fields_fills, route, perm):
-    """ppermute the selected rows of each (field, fill) to the neighbor."""
+def _exchange(cols, fills, route, perm):
+    """ONE packed ppermute of the boundary set: ``cols`` [nl, K] carries
+    all K fields stacked column-wise, so the route costs one [G, K]
+    gather + one collective instead of K of each (the per-field form was
+    measurable per-step overhead in the reuse loop). ``fills`` [K] are
+    the per-column pad values for invalid capacity rows."""
     take, valid = route
-    packed = tuple(_sel(f, take, valid, fill) for f, fill in fields_fills)
-    return tuple(jax.lax.ppermute(p, AXIS, perm) for p in packed)
+    v = cols[take]
+    fillv = jnp.asarray(fills, v.dtype)
+    return jax.lax.ppermute(jnp.where(valid[:, None], v, fillv[None, :]),
+                            AXIS, perm)
 
 
 def _ship_kinematics(st: ParticleState, routes, slab_lo, domain: Domain,
@@ -309,9 +315,11 @@ def _ship_kinematics(st: ParticleState, routes, slab_lo, domain: Domain,
     trash = _trash_pos(G, domain, spec, slab_lo, dtype)
     perm_left, perm_right = _perms(ns)
 
-    ph1 = ((st.pos, 0.0), (st.vel, 0.0), (st.mass, 0.0))
-    gR_pos, gR_vel, gR_mass = _exchange(ph1, routes[0], perm_left)
-    gL_pos, gL_vel, gL_mass = _exchange(ph1, routes[1], perm_right)
+    kin = jnp.concatenate([st.pos, st.vel, st.mass[:, None]], axis=-1)
+    gR = _exchange(kin, (0.0,) * (2 * dim + 1), routes[0], perm_left)
+    gL = _exchange(kin, (0.0,) * (2 * dim + 1), routes[1], perm_right)
+    gR_pos, gR_vel, gR_mass = gR[:, :dim], gR[:, dim:2 * dim], gR[:, 2 * dim]
+    gL_pos, gL_vel, gL_mass = gL[:, :dim], gL[:, dim:2 * dim], gL[:, 2 * dim]
     shiftR = jnp.where(me == ns - 1, ext_ax, 0.0).astype(dtype)
     shiftL = jnp.where(me == 0, -ext_ax, 0.0).astype(dtype)
     gR_pos = gR_pos.at[:, ax].add(shiftR)
@@ -393,19 +401,13 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo, cfg: SPHConfig,
 
     # ---- phase 2: owner-computed hydro for the SAME boundary sets ----
     loc = lambda v: v[:nl]
-    ph2 = tuple((loc(v), fill) for v, fill in
-                ((h_c, 1.0), (rho_c, 1.0), (P_c, 0.0), (cs_c, 0.0),
-                 (om_c, 1.0), (bf_c, 0.0)))
+    loc_hyd = jnp.stack([loc(h_c), loc(rho_c), loc(P_c), loc(cs_c),
+                         loc(om_c), loc(bf_c)], axis=-1)          # [nl, 6]
+    fills = (1.0, 1.0, 0.0, 0.0, 1.0, 0.0)
     perm_left, perm_right = _perms(spec.n_shards)
-    gR2 = _exchange(ph2, routes[0], perm_left)
-    gL2 = _exchange(ph2, routes[1], perm_right)
-
-    def splice(c_arr, gl, gr):
-        return jnp.concatenate([c_arr[:nl], gl, gr])
-
-    hyd = jnp.stack([splice(c, l, r) for c, l, r in
-                     zip((h_c, rho_c, P_c, cs_c, om_c, bf_c), gL2, gR2)],
-                    axis=-1)                                      # [nc, 6]
+    gR2 = _exchange(loc_hyd, fills, routes[0], perm_left)
+    gL2 = _exchange(loc_hyd, fills, routes[1], perm_right)
+    hyd = jnp.concatenate([loc_hyd, gL2, gR2], axis=0)            # [nc, 6]
     hyd_s = win.gather_sorted(hyd, wd)    # re-sort: every sorted row (incl.
     #                                       transverse images) gets owner vals
     h_s2 = jnp.where(mass_s > 0, hyd_s[:, 0], 1.0)
