@@ -1,0 +1,85 @@
+"""Block-timestep speedup benchmark: Sedov blast, global-dt vs rungs.
+
+Both integrators advance the same number of base ticks (ticks are
+dt_min-sized in both schemes, re-measured at every sync), so equal tick
+counts mean equal simulated time and the wall-clock ratio is the true
+speedup. Reports the measured active fraction — the theoretical ceiling —
+next to the achieved ratio (the gap is fixed per-tile overhead: program
+launch, SMEM predicate scans, output writes of skipped tiles).
+
+Usage:  python benchmarks/bench_rungs.py [n_side] [n_rungs] [nspans]
+"""
+import dataclasses
+import os
+import sys
+import time
+
+# repo root on sys.path when invoked as `python benchmarks/bench_rungs.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sphax
+from sphax.ics import sedov
+from sphax.integrate import rungs
+from sphax.neighbors import window as win
+from sphax.physics import wengine
+
+
+def main():
+    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_rungs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    nspans = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    span = 1 << (n_rungs - 1)
+    nticks = nspans * span
+
+    cfg = dataclasses.replace(sphax.configs.SEDOV, newton_iters=2)
+    ic = sedov.build(n_side=n_side, E=1.0)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
+    st = sphax.make_state(*(f32(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.3,
+                             dim=3, cutoff_scale=1.25, fast_sub=3,
+                             rgroups=2)
+    st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
+    print(f"N={st.n} wseg={spec.wseg} ticks={nticks} B={n_rungs}")
+
+    def timed(fn, label):
+        out = fn(st)
+        jax.block_until_ready(out[0].pos)
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(st)
+            jax.block_until_ready(out[0].pos)
+            walls.append(time.time() - t0)
+        w = sorted(walls)[1]
+        print(f"{label}: {w:.3f} s  ({st.n * nticks / w:.3e} "
+              f"particle-ticks/s)")
+        return out, w
+
+    g = lambda s: wengine.simulate(s, cfg, dom, spec, nticks,
+                                   rebuild_every=2, use_pallas=True)
+    (st_g, _, dts_g, ovf_g), w_g = timed(g, "global-dt")
+    assert int(ovf_g) == 0
+
+    r = lambda s: rungs.simulate_rungs(s, cfg, dom, spec, nspans,
+                                       n_rungs=n_rungs, rebuild_every=2,
+                                       use_pallas=True)
+    (st_r, dts_r, nact, ovf_r, viol), w_r = timed(r, f"rungs B={n_rungs}")
+    assert int(ovf_r) == 0
+    nact = np.asarray(nact)
+    frac = nact.sum() / (st.n * len(nact))
+    print(f"active fraction {frac:.3f} (ceiling {1/max(frac,1e-9):.2f}x); "
+          f"dt violations {int(viol)}")
+    print(f"speedup {w_g / w_r:.2f}x  (t_sim global {float(np.sum(dts_g)):.3e}"
+          f" vs rungs {float(np.sum(dts_r)):.3e})")
+    for s, tag in ((st_g, "global"), (st_r, "rungs")):
+        assert bool(jnp.isfinite(s.rho).all()), tag
+
+
+if __name__ == "__main__":
+    main()

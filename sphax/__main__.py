@@ -49,6 +49,8 @@ def main(argv=None):
     plot = kv.pop("plot", 0)
     shards = int(kv.pop("shards", 1))        # >1: distributed wslab run
     rebuild_every = int(kv.pop("rebuild_every", 2))  # dist structure reuse
+    n_rungs = int(kv.pop("rungs", 1))        # >1: block timesteps (window
+    #                                           engine, no gravity/driving)
 
     from sphax.diag import conservation
     from sphax.io import checkpoint, metrics
@@ -74,7 +76,31 @@ def main(argv=None):
                           shards, chunk, rebuild_every, metrics_every,
                           snapshot_every, checkpoint_every, log)
 
+    if n_rungs > 1:
+        if prob.wspec is None or prob.cfg.gravity or \
+           prob.drive_spec is not None:
+            raise SystemExit(
+                "rungs>1 needs the window engine without self-gravity or "
+                "OU driving (see sphax/integrate/rungs.py scope)")
+        from sphax.integrate import rungs as rungs_mod
+        span = 1 << (n_rungs - 1)
+        rungs_rebuild = 2 if span % 2 == 0 else 1
+        last_frac = [1.0]
+
     def run_chunk(state, drive):
+        if n_rungs > 1:
+            nspans = max(1, -(-chunk // span))
+            state, dts, nacts, ovf, viol = rungs_mod.simulate_rungs(
+                state, prob.cfg, prob.domain, prob.wspec, nspans,
+                n_rungs=n_rungs, rebuild_every=rungs_rebuild,
+                use_pallas=jax.default_backend() != "cpu")
+            import numpy as np
+            tot = int(np.sum(np.asarray(nacts)))
+            last_frac[0] = tot / (state.n * len(nacts))
+            if int(viol) > 0.05 * tot:
+                print(f"  warning: {int(viol)} dt-violating closings "
+                      f"(dt wanted < span dt_min) — consider fewer rungs")
+            return state, drive, dts, ovf
         if prob.wspec is not None:
             from sphax.physics import wengine
             nst = chunk + (-chunk) % 2
@@ -115,6 +141,8 @@ def main(argv=None):
             rec = log.log(state, prob.cfg, t, step, **extra)
             capmsg = (f" h_capped={extra['h_capped']}"
                       if extra.get("h_capped") else "")
+            if n_rungs > 1:
+                capmsg += f" active_frac={last_frac[0]:.2f}"
             print(f"  t={t:.4f} step={step} "
                   f"pss={rec['particle_steps_per_sec']:.3e} "
                   f"E={rec['e_total']:.5f} mach={rec['mach_rms']:.2f}"

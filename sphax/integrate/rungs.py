@@ -1,0 +1,282 @@
+r"""Block (individual) timesteps — hierarchical power-of-two rungs.
+
+The reference integrates every particle at the global minimum dt
+(SURVEY.md §2.1.8); block timesteps are the standard production upgrade
+(Hernquist & Katz 1989; GADGET-class codes): particle i advances with its
+OWN dt_i = 2^{r_i} * dt_min, so the cold bulk of a blast problem stops
+paying for the shock front's tiny CFL step. On TPU the win must come from
+SKIPPING WHOLE TILES of the sorted pencil-window structure (NEXT.md arch
+ladder #2): shocks are spatially coherent, the pencil sort makes sorted
+tiles rung-coherent, and a tile with no active row zeroes its
+``w_nact``/``t_nact`` tables so the Pallas kernels skip both its DMA and
+all of its predicated compute blocks — the identical machinery that
+already skips provably-empty blocks, no kernel changes at all.
+
+Scheme (KDK, synchronized at force evaluations):
+
+* A SPAN is 2^{B-1} ticks of the fixed base step dt_min, measured at the
+  span-start sync point where every particle has fresh derived state:
+  dt_min = min_i dt_i and r_i = clip(floor(log2(dt_i/dt_min)), 0, B-1).
+* At tick k, particles with k % 2^{r_i} == 0 OPEN a step (half-kick with
+  their stored acceleration); everyone DRIFTS by dt_min (velocities are
+  constant within a particle's step, so per-tick drift accumulates to
+  exactly dt_i * v_i); particles with (k+1) % 2^{r_i} == 0 CLOSE their
+  step: the derived pass runs with only their tiles active, and they
+  half-kick with the fresh forces.
+* Inactive particles contribute their positions at CURRENT time (drifted
+  every tick), their PREDICTED u (advanced at their last half-kick), and
+  their stale rho/P/h/viscosity-factor — the standard GADGET-class
+  approximation.
+* Rung changes happen only when a particle closes: decreases (smaller dt)
+  are always allowed; increases only onto ticks the new rung divides
+  (Hernquist-Katz discipline), so "k % 2^r == 0 with current rungs" is
+  exactly the set of step boundaries, with no extra bookkeeping carry.
+* Every span ends with all particles closing (2^{B-1} is divisible by
+  every 2^r), so span boundaries are full sync points where dt_min and
+  the rungs re-adapt.
+
+With n_rungs=1 this degenerates to plain global-dt leapfrog and must match
+``wengine.simulate`` to float roundoff (pinned by tests/unit/test_rungs.py).
+A particle whose desired dt drops below dt_min mid-span cannot be honored
+until the next sync; such events are counted in the returned ``dt_viol``
+health counter (the CFL safety factor absorbs epsilon violations; a large
+count means spans are too long for how fast the flow stiffens — lower
+n_rungs or cfg.cfl).
+
+Scope (v1): single-chip window engine, no self-gravity (the PM mesh is a
+global solve that cannot ride tile skipping), no OU driving (the flagship
+turbulence box is rung-uniform anyway — the target is Sedov/blast-class
+problems, where the measured win is the active-tile fraction).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sphax.configs import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.integrate.timestep import particle_dt
+from sphax.neighbors import window as win
+from sphax.neighbors.window import WindowData, WindowSpec
+from sphax.physics import wengine
+from sphax.physics.eos import eos
+
+
+def mask_structure(wd: WindowData, spec: WindowSpec, act_s) -> WindowData:
+    """Zero the active-block tables of row-groups/tiles with no active row.
+
+    ``act_s`` [n_sorted] bool: activity per SORTED row (images inherit the
+    owner's flag through the build's g-gather). Kernels A/C then skip the
+    masked tiles' window DMAs and every predicated compute block — their
+    outputs are junk-but-finite and the caller must discard them per row.
+    """
+    act_g = jnp.any(act_s.reshape(spec.n_groups, spec.group), axis=1)
+    w_nact = jnp.where(act_g[:, None], wd.w_nact, 0)
+    if spec.rgroups > 1:
+        act_t = jnp.any(act_g.reshape(spec.n_tiles, spec.rgroups), axis=1)
+        t_nact = jnp.where(act_t[:, None], wd.t_nact, 0)
+    else:
+        t_nact = w_nact
+    return wd._replace(w_nact=w_nact, t_nact=t_nact)
+
+
+def _derived_rungs(state: ParticleState, bf_prev, wd: WindowData,
+                   cfg: SPHConfig, domain: Domain, spec: WindowSpec,
+                   close_m, tile_block: int, use_pallas: bool):
+    """Window-engine derived pass evaluating only CLOSING particles' tiles.
+
+    The twin of ``wengine.derived_with`` with three changes: (1) the
+    kernels run on a ``mask_structure``d copy of ``wd``; (2) the four
+    window-shipped scalars (h/rho/Omega/viscosity-factor) are per-row
+    SELECTED — fresh on closing rows, stale (from ``state``/``bf_prev``)
+    elsewhere — before the owner mirror, so kernel C's j-sides see every
+    particle's current-best values; (3) all outputs are selected against
+    the stale state after the unsort. Returns (state', bf_now) where
+    ``bf_now`` [n] is the current-best viscosity factor to carry.
+    """
+    n = state.n
+    dtype = state.pos.dtype
+    act_s = win.gather_sorted(close_m.astype(dtype), wd) > 0.5
+    wd_act = mask_structure(wd, spec, act_s)
+
+    pos_s = win.refresh_pos(state.pos, wd)
+    vel_s = win.gather_sorted(state.vel, wd)
+    mass_s = win.gather_sorted(state.mass, wd)
+    u_s = win.gather_sorted(state.u, wd)
+    h_s = win.gather_sorted(state.h, wd, fill=1.0)
+    alpha_s = (win.gather_sorted(state.alpha, wd, fill=1.0)
+               if cfg.mm_visc else None)
+
+    h_f, rho_f, om_f, bf_f, divv_f = wengine.stage_density(
+        wd_act, spec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
+        use_pallas, alpha_s=alpha_s)
+
+    # current-best sorted scalars: fresh where the owner closes, stale
+    # otherwise (pad rows select the stale branch, whose fill=1.0 matches
+    # derived_with's conventions), then ONE packed owner-mirror gather
+    fresh = jnp.stack([h_f, rho_f, om_f, bf_f], axis=-1)
+    stale = win.gather_sorted(
+        jnp.stack([state.h, state.rho, state.omega, bf_prev], axis=-1),
+        wd, fill=1.0)
+    mirrored = jnp.where(act_s[:, None], fresh, stale)[wd.src]
+    h_c, rho_c, om_c, bf_c = (mirrored[:, 0], mirrored[:, 1],
+                              mirrored[:, 2], mirrored[:, 3])
+    # u_s is the PREDICTED energy (advanced at each particle's last
+    # half-kick), so eos gives predicted P/cs for stale rows — the
+    # GADGET-class neighbor prediction
+    P_c, cs_c = eos(rho_c, u_s, cfg)
+
+    acc_s, du_s = wengine.stage_forces(
+        wd_act, spec, cfg, pos_s, vel_s, mass_s, h_c, rho_c, P_c, cs_c,
+        om_c, bf_c, tile_block, use_pallas)
+
+    # unsort: the four mirrored scalars are already selected; force
+    # outputs and divv select against the stale state per ORIGINAL row
+    cols = [h_c, rho_c, P_c, cs_c, om_c, du_s, divv_f, mirrored[:, 3]] + [
+        acc_s[:, d] for d in range(state.dim)]
+    out = jnp.stack(cols, axis=-1)[wd.inv]
+    cm = close_m
+    cmc = cm[:, None]
+    acc = jnp.where(cmc, out[:, 8:8 + state.dim], state.acc)
+    return state._replace(
+        h=out[:, 0], rho=out[:, 1], P=out[:, 2], cs=out[:, 3],
+        omega=out[:, 4],
+        du_dt=jnp.where(cm, out[:, 5], state.du_dt),
+        divv=jnp.where(cm, out[:, 6], state.divv),
+        acc=acc), out[:, 7]
+
+
+def _visc_factor_full(state: ParticleState, cfg: SPHConfig, domain: Domain,
+                      spec: WindowSpec, tile_block: int, use_pallas: bool):
+    """One full kernel-A pass to seed the stale viscosity-factor carry
+    (the factor is derived from div/curl, which ParticleState does not
+    store). Skipped (ones) when no viscosity switch is configured."""
+    if not cfg.visc_factor_on:
+        return jnp.ones_like(state.h)
+    pos_w = domain.wrap(state.pos)
+    wd = win.build(pos_w, domain, spec)
+    pos_s = win.refresh_pos(pos_w, wd)
+    vel_s = win.gather_sorted(state.vel, wd)
+    mass_s = win.gather_sorted(state.mass, wd)
+    u_s = win.gather_sorted(state.u, wd)
+    h_s = win.gather_sorted(state.h, wd, fill=1.0)
+    alpha_s = (win.gather_sorted(state.alpha, wd, fill=1.0)
+               if cfg.mm_visc else None)
+    _, _, _, bf_s, _ = wengine.stage_density(
+        wd, spec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
+        use_pallas, alpha_s=alpha_s)
+    return bf_s[wd.inv]
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "nspans", "n_rungs",
+                                   "rebuild_every", "tile_block",
+                                   "use_pallas"))
+def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
+                   spec: WindowSpec, nspans: int, n_rungs: int = 4,
+                   rebuild_every: int = 2, tile_block: int = 16,
+                   use_pallas: bool = True):
+    """Block-timestep production loop (nested lax.scan, zero host trips).
+
+    ``state`` must carry current derived quantities (run update_derived
+    first, as for ``wengine.simulate``). Advances ``nspans`` spans of
+    2^{n_rungs-1} base ticks each; the window structure rebuilds every
+    ``rebuild_every`` ticks (ticks are dt_min-sized — the same drift
+    contract as global-dt ``simulate`` at the same cadence).
+
+    Returns (state, dts, n_active, overflow, dt_viol):
+      dts       [nspans * 2^{B-1}]  base dt of every tick;
+      n_active  [nspans * 2^{B-1}]  closing-particle count per tick — the
+                                    integrated active fraction is the
+                                    measured work saving;
+      overflow  max window-structure overflow across all rebuilds (must
+                be 0, as in simulate);
+      dt_viol   particles that wanted dt < dt_min at a mid-span close,
+                summed over ticks (see module docstring).
+    """
+    if cfg.gravity:
+        raise NotImplementedError(
+            "block timesteps + self-gravity: the PM/direct mesh stage is a "
+            "global solve with no tile skipping to exploit — run global-dt")
+    span_ticks = 1 << (n_rungs - 1)
+    if span_ticks % rebuild_every:
+        raise ValueError("rebuild_every must divide 2^(n_rungs-1)")
+    dtype = state.pos.dtype
+
+    bf0 = _visc_factor_full(state, cfg, domain, spec, tile_block, use_pallas)
+
+    def span(carry, _):
+        st, bf_prev = carry
+        # sync point: every particle closed on the previous tick
+        dt_des0 = particle_dt(st, cfg)
+        dt_min = jnp.min(dt_des0)
+        rung0 = jnp.clip(
+            jnp.floor(jnp.log2(jnp.maximum(dt_des0 / dt_min, 1.0))),
+            0, n_rungs - 1).astype(jnp.int32)
+
+        def tick(carry_t, k):
+            st, bf_prev, rung, wd = carry_t
+            dt_r = dt_min * jnp.exp2(rung.astype(dtype))
+            period_mask = (1 << rung) - 1          # k % 2^r == k & mask
+            open_m = (k & period_mask) == 0
+            half = jnp.where(open_m, 0.5 * dt_r, 0.0)
+            vel = st.vel + half[:, None] * st.acc
+            u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+            st = st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u)
+
+            close_m = ((k + 1) & period_mask) == 0
+            st, bf_now = _derived_rungs(st, bf_prev, wd, cfg, domain, spec,
+                                        close_m, tile_block, use_pallas)
+            half = jnp.where(close_m, 0.5 * dt_r, 0.0)
+            vel = st.vel + half[:, None] * st.acc
+            u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+            st = st._replace(vel=vel, u=u)
+            if cfg.mm_visc:
+                from sphax.physics import pairs
+
+                a_new = pairs.mm_alpha_update(st.alpha, st.divv, st.h,
+                                              st.cs, dt_r, cfg)
+                st = st._replace(alpha=jnp.where(close_m, a_new, st.alpha))
+
+            # rung update on closers: decrease freely, increase only onto
+            # ticks the new rung divides (alignment of k+1)
+            dt_des = particle_dt(st, cfg)
+            # dt_viol: a closer mid-span wanting dt < dt_min cannot be
+            # honored until the next sync; the span's FINAL tick is not a
+            # violation — everyone re-syncs immediately
+            mid = (k + 1) < span_ticks
+            viol = jnp.sum((close_m & (dt_des < dt_min)).astype(jnp.int32)
+                           ) * mid.astype(jnp.int32)
+            r_des = jnp.clip(
+                jnp.floor(jnp.log2(jnp.maximum(dt_des / dt_min, 1.0))),
+                0, n_rungs - 1).astype(jnp.int32)
+            kp = k + 1
+            align = sum(((kp & ((1 << j) - 1)) == 0).astype(jnp.int32)
+                        for j in range(1, n_rungs))
+            r_new = jnp.where(r_des < rung, r_des,
+                              jnp.minimum(r_des, align))
+            rung = jnp.where(close_m, r_new, rung)
+            nact = jnp.sum(close_m.astype(jnp.int32))
+            return (st, bf_now, rung, wd), (dt_min, nact, viol)
+
+        def rebuild_blk(carry_r, r):
+            st, bf_prev, rung = carry_r
+            st = st._replace(pos=domain.wrap(st.pos))
+            wd = win.build(st.pos, domain, spec)
+            ks = r * rebuild_every + jnp.arange(rebuild_every,
+                                                dtype=jnp.int32)
+            (st, bf_prev, rung, _), outs = jax.lax.scan(
+                tick, (st, bf_prev, rung, wd), ks)
+            return (st, bf_prev, rung), (outs, wd.overflow)
+
+        (st, bf_prev, _), ((dts, nacts, viols), ovf) = jax.lax.scan(
+            rebuild_blk, (st, bf_prev, rung0),
+            jnp.arange(span_ticks // rebuild_every, dtype=jnp.int32))
+        return (st, bf_prev), (dts.reshape(-1), nacts.reshape(-1),
+                               jnp.sum(viols), jnp.max(ovf))
+
+    (state, _), (dts, nacts, viol, ovf) = jax.lax.scan(
+        span, (state, bf0), None, length=nspans)
+    return (state._replace(pos=domain.wrap(state.pos)), dts.reshape(-1),
+            nacts.reshape(-1), jnp.max(ovf), jnp.sum(viol))

@@ -14,13 +14,19 @@ from sphax.core.state import ParticleState
 _TINY = 1e-30
 
 
-def local_dt(state: ParticleState, cfg: SPHConfig):
-    """Per-run scalar dt before any cross-device reduction."""
+def particle_dt(state: ParticleState, cfg: SPHConfig):
+    """Per-PARTICLE dt [n]: min of the CFL and force criteria, clamped to
+    cfg.dt_max. ``local_dt`` is its global min (the reference's global-dt
+    scheme); the block-timestep integrator (integrate/rungs.py) consumes the
+    vector directly to assign power-of-two rungs."""
     vsig = state.cs + 0.6 * (cfg.alpha_visc * state.cs + cfg.beta_visc * state.cs)
     dt_cfl = cfg.cfl * state.h / jnp.maximum(vsig, _TINY)
     amag = jnp.sqrt(jnp.sum(state.acc * state.acc, axis=-1))
     dt_f = cfg.dt_force * jnp.sqrt(state.h / jnp.maximum(amag, _TINY))
-    return jnp.minimum(
-        jnp.minimum(jnp.min(dt_cfl), jnp.min(dt_f)),
-        jnp.asarray(cfg.dt_max, state.h.dtype),
-    )
+    return jnp.minimum(jnp.minimum(dt_cfl, dt_f),
+                       jnp.asarray(cfg.dt_max, state.h.dtype))
+
+
+def local_dt(state: ParticleState, cfg: SPHConfig):
+    """Per-run scalar dt before any cross-device reduction."""
+    return jnp.min(particle_dt(state, cfg))

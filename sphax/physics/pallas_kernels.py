@@ -288,155 +288,179 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
         wbuf, sems, rbuf, mbuf, acc = refs[-5:]
         i = pl.program_id(0)
         row = i % 8
-        _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S)
 
-        xi_t = [_col(own_refs[d], T) for d in range(dim)]
-        m_t = _col(own_refs[dim], T)
-        h_t = _col(own_refs[dim + 1], T)
-        vi_t = ([_col(own_refs[dim + 2 + d], T) for d in range(dim)]
-                if fuse_bals else None)
+        # ONE per-tile early-out: a tile whose every union segment has zero
+        # active blocks (trash-band/pad tiles in the distributed layouts;
+        # masked tiles under block timesteps, integrate/rungs.py) skips the
+        # window DMAs, the predicate scans, and the whole Newton walk — the
+        # per-program fixed cost was the measured floor of the rung
+        # speedup. h passes through (downstream computes 1/h on every row;
+        # the other outputs' zeros match what zero-sum walks produced).
+        tile_act = wn_ref[row, 0]
+        for s in range(1, n_seg):
+            tile_act = tile_act + wn_ref[row, s]
 
-        # statically unrolled row-group loop: group gg's Tg rows compute
-        # only their own 128-block sub-range [off, off + gn) of each SHARED
-        # tile-union window — the group's candidate span excludes the rest
-        # of the tile's fast-axis run, the dominant over-read term, while
-        # the DMA bytes stay at R=1 levels. Scratch (rbuf, mbuf, acc) is
-        # sized per group and reused sequentially; the dedup-masked masses
-        # are cached in mbuf instead of written back to wbuf, which is now
-        # shared between groups.
-        parts = [[] for _ in range(n_outs)]
-        for gg in range(R):
-            gs = slice(gg * Tg, (gg + 1) * Tg)
-            col0 = gg * n_seg
-            xi = [x[gs] for x in xi_t]
-            m_i = m_t[gs]
-            h_i = h_t[gs]
-            vi = [v[gs] for v in vi_t] if fuse_bals else None
+        def _body():
+            _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S)
 
-            def sums(h, first=False, final=False, col0=col0, xi=xi, vi=vi):
-                """One walk over the group's active candidate blocks.
+            xi_t = [_col(own_refs[d], T) for d in range(dim)]
+            m_t = _col(own_refs[dim], T)
+            h_t = _col(own_refs[dim + 1], T)
+            vi_t = ([_col(own_refs[dim + 2 + d], T) for d in range(dim)]
+                    if fuse_bals else None)
 
-                first: also compute + cache pair distances and dedup the
-                masses (fused so the first Newton evaluation costs no extra
-                walk). final: also accumulate the Balsara div/curl estimator
-                sums, reusing this walk's q/t/dwdq (G = dwdq * invh / r
-                exactly — the r*invr roundoff is ~tiny/r^2, zero
-                contribution at r = 0 since dx = dv = 0 there).
+            # statically unrolled row-group loop: group gg's Tg rows compute
+            # only their own 128-block sub-range [off, off + gn) of each SHARED
+            # tile-union window — the group's candidate span excludes the rest
+            # of the tile's fast-axis run, the dominant over-read term, while
+            # the DMA bytes stay at R=1 levels. Scratch (rbuf, mbuf, acc) is
+            # sized per group and reused sequentially; the dedup-masked masses
+            # are cached in mbuf instead of written back to wbuf, which is now
+            # shared between groups.
+            parts = [[] for _ in range(n_outs)]
+            for gg in range(R):
+                gs = slice(gg * Tg, (gg + 1) * Tg)
+                col0 = gg * n_seg
+                xi = [x[gs] for x in xi_t]
+                m_i = m_t[gs]
+                h_i = h_t[gs]
+                vi = [v[gs] for v in vi_t] if fuse_bals else None
 
-                Lane-wise partial sums accumulate in VMEM scratch (pl.when
-                bodies cannot carry jnp values); one cross-lane reduction
-                each at the end.
-                """
-                invh = 1.0 / h                      # [Tg, 1]
-                sigd = sig * invh**dim
-                do_bals = final and fuse_bals
-                kmax = n_acc if do_bals else 2
-                for k in range(kmax):
-                    acc[k] = jnp.zeros((Tg, blkw), dtype)
-                for s in range(n_seg):
-                    off = gof_ref[row, col0 + s]
-                    nact = gn_ref[row, col0 + s]
-                    for b in range(nblk):
-                        @pl.when(_grp_when(off, nact, b, blkw))
-                        def _(s=s, b=b, off=off, nact=nact):
-                            sl = slice(b * blkw, (b + 1) * blkw)
-                            if first:
-                                r2 = jnp.zeros((Tg, blkw), dtype)
-                                for d in range(dim):
-                                    dxd = xi[d] - wbuf[s, d, :, sl]
-                                    r2 = r2 + dxd * dxd
-                                invr = jax.lax.rsqrt(r2 + tiny)
-                                r = r2 * invr
-                                rbuf[s, :, sl] = r
-                                keep = _blk_keep(wt_ref, gof_ref, gn_ref,
-                                                 row, col0, s, b, dtype,
-                                                 blkw, nblk, S)
-                                m_j = wbuf[s, dim, :, sl] * keep
-                                mbuf[s, :, sl] = m_j
-                            else:
-                                r = rbuf[s, :, sl]
-                                m_j = mbuf[s, :, sl]
-                            q = r * invh
-                            t = 2.0 - q
-                            lt1 = q < 1.0
-                            live = q < 2.0
-                            f = jnp.where(lt1,
-                                          1.0 + q * q * (0.75 * q - 1.5),
-                                          0.25 * t * t * t)
-                            df = jnp.where(lt1, q * (2.25 * q - 3.0),
-                                           -0.75 * t * t)
-                            w = jnp.where(live, sigd * f, 0.0)
-                            dwdq = jnp.where(live, sigd * df, 0.0)
-                            acc[0] += m_j * w
-                            acc[1] += m_j * (-(dim * w + q * dwdq) * invh)
-                            if do_bals:
-                                if not first:
-                                    invr = jax.lax.rsqrt(r * r + tiny)
-                                mw = m_j * (dwdq * invh * invr)
-                                dx = [xi[d] - wbuf[s, d, :, sl]
-                                      for d in range(dim)]
-                                dv = [vi[d] - wbuf[s, dim + 1 + d, :, sl]
-                                      for d in range(dim)]
-                                vdotr = sum(dv[d] * dx[d]
-                                            for d in range(dim))
-                                acc[2] += mw * vdotr
-                                if dim == 3:
-                                    acc[3] += mw * (dv[1] * dx[2]
-                                                    - dv[2] * dx[1])
-                                    acc[4] += mw * (dv[2] * dx[0]
-                                                    - dv[0] * dx[2])
-                                    acc[5] += mw * (dv[0] * dx[1]
-                                                    - dv[1] * dx[0])
-                                elif dim == 2:
-                                    acc[3] += mw * (dv[0] * dx[1]
-                                                    - dv[1] * dx[0])
-                rho = jnp.sum(acc[0], axis=1, keepdims=True)
-                drdh = jnp.sum(acc[1], axis=1, keepdims=True)
-                return rho, drdh
+                def sums(h, first=False, final=False, col0=col0, xi=xi, vi=vi):
+                    """One walk over the group's active candidate blocks.
 
-            m_safe = jnp.maximum(m_i, 1e-30)
+                    first: also compute + cache pair distances and dedup the
+                    masses (fused so the first Newton evaluation costs no extra
+                    walk). final: also accumulate the Balsara div/curl estimator
+                    sums, reusing this walk's q/t/dwdq (G = dwdq * invh / r
+                    exactly — the r*invr roundoff is ~tiny/r^2, zero
+                    contribution at r = 0 since dx = dv = 0 there).
 
-            def newton_update(h, rho, drdh):
-                rho = jnp.maximum(rho, 1e-30)
-                rho_h = m_safe * eta_d / h**dim
-                phi = rho - rho_h
-                dphi = drdh + dim * rho_h / h
-                dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
-                dh = jnp.clip(-phi / dphi, -0.5 * h, 0.5 * h)
-                # structural cap: windows only cover to spec.cutoff
-                return jnp.minimum(h + dh, hcap)
+                    Lane-wise partial sums accumulate in VMEM scratch (pl.when
+                    bodies cannot carry jnp values); one cross-lane reduction
+                    each at the end.
+                    """
+                    invh = 1.0 / h                      # [Tg, 1]
+                    sigd = sig * invh**dim
+                    do_bals = final and fuse_bals
+                    kmax = n_acc if do_bals else 2
+                    for k in range(kmax):
+                        acc[k] = jnp.zeros((Tg, blkw), dtype)
+                    for s in range(n_seg):
+                        off = gof_ref[row, col0 + s]
+                        nact = gn_ref[row, col0 + s]
+                        for b in range(nblk):
+                            @pl.when(_grp_when(off, nact, b, blkw))
+                            def _(s=s, b=b, off=off, nact=nact):
+                                sl = slice(b * blkw, (b + 1) * blkw)
+                                if first:
+                                    r2 = jnp.zeros((Tg, blkw), dtype)
+                                    for d in range(dim):
+                                        dxd = xi[d] - wbuf[s, d, :, sl]
+                                        r2 = r2 + dxd * dxd
+                                    invr = jax.lax.rsqrt(r2 + tiny)
+                                    r = r2 * invr
+                                    rbuf[s, :, sl] = r
+                                    keep = _blk_keep(wt_ref, gof_ref, gn_ref,
+                                                     row, col0, s, b, dtype,
+                                                     blkw, nblk, S)
+                                    m_j = wbuf[s, dim, :, sl] * keep
+                                    mbuf[s, :, sl] = m_j
+                                else:
+                                    r = rbuf[s, :, sl]
+                                    m_j = mbuf[s, :, sl]
+                                q = r * invh
+                                t = 2.0 - q
+                                lt1 = q < 1.0
+                                live = q < 2.0
+                                f = jnp.where(lt1,
+                                              1.0 + q * q * (0.75 * q - 1.5),
+                                              0.25 * t * t * t)
+                                df = jnp.where(lt1, q * (2.25 * q - 3.0),
+                                               -0.75 * t * t)
+                                w = jnp.where(live, sigd * f, 0.0)
+                                dwdq = jnp.where(live, sigd * df, 0.0)
+                                acc[0] += m_j * w
+                                acc[1] += m_j * (-(dim * w + q * dwdq) * invh)
+                                if do_bals:
+                                    if not first:
+                                        invr = jax.lax.rsqrt(r * r + tiny)
+                                    mw = m_j * (dwdq * invh * invr)
+                                    dx = [xi[d] - wbuf[s, d, :, sl]
+                                          for d in range(dim)]
+                                    dv = [vi[d] - wbuf[s, dim + 1 + d, :, sl]
+                                          for d in range(dim)]
+                                    vdotr = sum(dv[d] * dx[d]
+                                                for d in range(dim))
+                                    acc[2] += mw * vdotr
+                                    if dim == 3:
+                                        acc[3] += mw * (dv[1] * dx[2]
+                                                        - dv[2] * dx[1])
+                                        acc[4] += mw * (dv[2] * dx[0]
+                                                        - dv[0] * dx[2])
+                                        acc[5] += mw * (dv[0] * dx[1]
+                                                        - dv[1] * dx[0])
+                                    elif dim == 2:
+                                        acc[3] += mw * (dv[0] * dx[1]
+                                                        - dv[1] * dx[0])
+                    rho = jnp.sum(acc[0], axis=1, keepdims=True)
+                    drdh = jnp.sum(acc[1], axis=1, keepdims=True)
+                    return rho, drdh
 
-            if iters:
-                rho, drdh = sums(h_i, first=True)
-                h = newton_update(h_i, rho, drdh)
-                h = jax.lax.fori_loop(
-                    0, iters - 1,
-                    lambda _, hh: newton_update(hh, *sums(hh)), h)
-                rho, drdh = sums(h, final=True)
-            else:
-                h = h_i
-                rho, drdh = sums(h, first=True, final=True)
-            parts[0].append(h)
-            parts[1].append(rho)
-            parts[2].append(drdh)
+                m_safe = jnp.maximum(m_i, 1e-30)
 
-            if fuse_bals:
-                divv = jnp.sum(acc[2], axis=1, keepdims=True)
-                parts[3].append(divv)
-                if dim == 3:
-                    c = [jnp.sum(acc[3 + k], axis=1, keepdims=True)
-                         for k in range(3)]
-                    cm = jnp.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2)
-                elif dim == 2:
-                    cm = jnp.abs(jnp.sum(acc[3], axis=1, keepdims=True))
+                def newton_update(h, rho, drdh):
+                    rho = jnp.maximum(rho, 1e-30)
+                    rho_h = m_safe * eta_d / h**dim
+                    phi = rho - rho_h
+                    dphi = drdh + dim * rho_h / h
+                    dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
+                    dh = jnp.clip(-phi / dphi, -0.5 * h, 0.5 * h)
+                    # structural cap: windows only cover to spec.cutoff
+                    return jnp.minimum(h + dh, hcap)
+
+                if iters:
+                    rho, drdh = sums(h_i, first=True)
+                    h = newton_update(h_i, rho, drdh)
+                    h = jax.lax.fori_loop(
+                        0, iters - 1,
+                        lambda _, hh: newton_update(hh, *sums(hh)), h)
+                    rho, drdh = sums(h, final=True)
                 else:
-                    cm = jnp.zeros((Tg, 1), dtype)
-                parts[4].append(cm)
+                    h = h_i
+                    rho, drdh = sums(h, first=True, final=True)
+                parts[0].append(h)
+                parts[1].append(rho)
+                parts[2].append(drdh)
 
-        for k in range(n_outs):
-            vals = (parts[k][0] if R == 1
-                    else jnp.concatenate(parts[k], axis=0))
-            out_refs[k][:, :] = vals.reshape(1, T)
+                if fuse_bals:
+                    divv = jnp.sum(acc[2], axis=1, keepdims=True)
+                    parts[3].append(divv)
+                    if dim == 3:
+                        c = [jnp.sum(acc[3 + k], axis=1, keepdims=True)
+                             for k in range(3)]
+                        cm = jnp.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2)
+                    elif dim == 2:
+                        cm = jnp.abs(jnp.sum(acc[3], axis=1, keepdims=True))
+                    else:
+                        cm = jnp.zeros((Tg, 1), dtype)
+                    parts[4].append(cm)
+
+            for k in range(n_outs):
+                vals = (parts[k][0] if R == 1
+                        else jnp.concatenate(parts[k], axis=0))
+                out_refs[k][:, :] = vals.reshape(1, T)
+
+        @pl.when(tile_act == 0)
+        def _():
+            out_refs[0][:, :] = own_refs[dim + 1][:, :]
+            for k in range(1, n_outs):
+                out_refs[k][:, :] = jnp.zeros((1, T), dtype)
+
+        @pl.when(tile_act > 0)
+        def _():
+            _body()
+
 
     own = [pos_s[:, d] for d in range(dim)] + [mass_s, h0_s]
     win = [pos_s[:, d] for d in range(dim)] + [mass_s]
@@ -519,138 +543,156 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
         wbuf, sems, acc = refs[-3:]
         i = pl.program_id(0)
         row = i % 8
-        _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S)
 
-        o = iter(range(n_own))
-        xi_t = [_col(own_refs[next(o)], T) for _ in range(dim)]
-        vi_t = [_col(own_refs[next(o)], T) for _ in range(dim)]
-        h_t = _col(own_refs[next(o)], T)
-        invh_t = _col(own_refs[next(o)], T)
-        rho_t = _col(own_refs[next(o)], T)
-        cs_t = _col(own_refs[next(o)], T)
-        ci_t = _col(own_refs[next(o)], T)
-        bf_t = _col(own_refs[next(o)], T) if use_bf else None
+        # per-tile early-out — see solve_h_density (trash/pad tiles in
+        # distributed layouts, masked tiles under block timesteps)
+        tile_act = wn_ref[row, 0]
+        for s in range(1, n_seg):
+            tile_act = tile_act + wn_ref[row, s]
 
-        # statically unrolled row-group loop (see solve_h_density)
-        parts = [[] for _ in range(dim + 1)]
-        for gg in range(R):
-            gs = slice(gg * Tg, (gg + 1) * Tg)
-            col0 = gg * n_seg
-            xi = [x[gs] for x in xi_t]
-            vi = [v[gs] for v in vi_t]
-            h_i = h_t[gs]
-            invh_i = invh_t[gs]
-            rho_i = rho_t[gs]
-            cs_i = cs_t[gs]
-            ci = ci_t[gs]
-            bf_i = bf_t[gs] if use_bf else None
-            gc1_i = sig * invh_i ** (dim + 1)
-            gc2_i = gc1_i * invh_i
+        def _body():
+            _dma_windows(wt_ref, wn_ref, win_ref, wbuf, sems, i, n_seg, S)
 
-            for k in range(dim + 1):
-                acc[k] = jnp.zeros((Tg, blkw), dtype)
+            o = iter(range(n_own))
+            xi_t = [_col(own_refs[next(o)], T) for _ in range(dim)]
+            vi_t = [_col(own_refs[next(o)], T) for _ in range(dim)]
+            h_t = _col(own_refs[next(o)], T)
+            invh_t = _col(own_refs[next(o)], T)
+            rho_t = _col(own_refs[next(o)], T)
+            cs_t = _col(own_refs[next(o)], T)
+            ci_t = _col(own_refs[next(o)], T)
+            bf_t = _col(own_refs[next(o)], T) if use_bf else None
 
-            for s in range(n_seg):
-                off = gof_ref[row, col0 + s]
-                nact = gn_ref[row, col0 + s]
-                for b in range(nblk):
-                    @pl.when(_grp_when(off, nact, b, blkw))
-                    def _(s=s, b=b, col0=col0, xi=xi, vi=vi, h_i=h_i,
-                          invh_i=invh_i, rho_i=rho_i, cs_i=cs_i, ci=ci,
-                          bf_i=bf_i, gc1_i=gc1_i, gc2_i=gc2_i):
-                        sl = slice(b * blkw, (b + 1) * blkw)
-                        w = iter(range(2 * dim + n_scal_win))
-                        xj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
-                        vj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
-                        keep = _blk_keep(wt_ref, gof_ref, gn_ref, row,
-                                         col0, s, b, dtype, blkw, nblk, S)
-                        m_j = wbuf[s, next(w), :, sl] * keep
-                        h_j = wbuf[s, next(w), :, sl]
-                        invh_j = wbuf[s, next(w), :, sl]
-                        rho_j = wbuf[s, next(w), :, sl]
-                        cs_j = wbuf[s, next(w), :, sl]
-                        cj = wbuf[s, next(w), :, sl]
-                        gc1_j = wbuf[s, next(w), :, sl]
-                        gc2_j = wbuf[s, next(w), :, sl]
-                        bf_j = wbuf[s, next(w), :, sl] if use_bf else None
+            # statically unrolled row-group loop (see solve_h_density)
+            parts = [[] for _ in range(dim + 1)]
+            for gg in range(R):
+                gs = slice(gg * Tg, (gg + 1) * Tg)
+                col0 = gg * n_seg
+                xi = [x[gs] for x in xi_t]
+                vi = [v[gs] for v in vi_t]
+                h_i = h_t[gs]
+                invh_i = invh_t[gs]
+                rho_i = rho_t[gs]
+                cs_i = cs_t[gs]
+                ci = ci_t[gs]
+                bf_i = bf_t[gs] if use_bf else None
+                gc1_i = sig * invh_i ** (dim + 1)
+                gc2_i = gc1_i * invh_i
 
-                        dx = [xi[d] - xj[d] for d in range(dim)]
-                        dv = [vi[d] - vj[d] for d in range(dim)]
-                        r2 = sum(d_ * d_ for d_ in dx)
-                        invr = jax.lax.rsqrt(r2 + tiny)
-                        r = r2 * invr
+                for k in range(dim + 1):
+                    acc[k] = jnp.zeros((Tg, blkw), dtype)
 
-                        qi = r * invh_i
-                        qj = r * invh_j
-                        ti = 2.0 - qi
-                        tj = 2.0 - qj
-                        gi = jnp.where(qi < 1.0, gc2_i * (2.25 * qi - 3.0),
-                                       (-0.75) * gc1_i * (ti * ti) * invr)
-                        gi = jnp.where(qi < 2.0, gi, 0.0)
-                        gj = jnp.where(qj < 1.0, gc2_j * (2.25 * qj - 3.0),
-                                       (-0.75) * gc1_j * (tj * tj) * invr)
-                        gj = jnp.where(qj < 2.0, gj, 0.0)
-                        gbar = 0.5 * (gi + gj)
+                for s in range(n_seg):
+                    off = gof_ref[row, col0 + s]
+                    nact = gn_ref[row, col0 + s]
+                    for b in range(nblk):
+                        @pl.when(_grp_when(off, nact, b, blkw))
+                        def _(s=s, b=b, col0=col0, xi=xi, vi=vi, h_i=h_i,
+                              invh_i=invh_i, rho_i=rho_i, cs_i=cs_i, ci=ci,
+                              bf_i=bf_i, gc1_i=gc1_i, gc2_i=gc2_i):
+                            sl = slice(b * blkw, (b + 1) * blkw)
+                            w = iter(range(2 * dim + n_scal_win))
+                            xj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
+                            vj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
+                            keep = _blk_keep(wt_ref, gof_ref, gn_ref, row,
+                                             col0, s, b, dtype, blkw, nblk, S)
+                            m_j = wbuf[s, next(w), :, sl] * keep
+                            h_j = wbuf[s, next(w), :, sl]
+                            invh_j = wbuf[s, next(w), :, sl]
+                            rho_j = wbuf[s, next(w), :, sl]
+                            cs_j = wbuf[s, next(w), :, sl]
+                            cj = wbuf[s, next(w), :, sl]
+                            gc1_j = wbuf[s, next(w), :, sl]
+                            gc2_j = wbuf[s, next(w), :, sl]
+                            bf_j = wbuf[s, next(w), :, sl] if use_bf else None
 
-                        vdotr = sum(dv[d] * dx[d] for d in range(dim))
-                        hbar = 0.5 * (h_i + h_j)
-                        mu_den = r2 + epsv * hbar * hbar
-                        if fast:
-                            mu = (hbar * vdotr
-                                  * pl.reciprocal(mu_den, approx=True))
-                        else:
-                            mu = hbar * vdotr / mu_den
-                        mu = jnp.where(vdotr < 0.0, mu, 0.0)
-                        cbar = 0.5 * (cs_i + cs_j)
-                        rhobar = 0.5 * (rho_i + rho_j)
-                        if fast:
-                            Pi = ((beta * mu - alpha * cbar) * mu
-                                  * pl.reciprocal(rhobar, approx=True))
-                        else:
-                            Pi = (beta * mu - alpha * cbar) * mu / rhobar
-                        if use_bf:
-                            Pi = Pi * (0.5 * (bf_i + bf_j))
+                            dx = [xi[d] - xj[d] for d in range(dim)]
+                            dv = [vi[d] - vj[d] for d in range(dim)]
+                            r2 = sum(d_ * d_ for d_ in dx)
+                            invr = jax.lax.rsqrt(r2 + tiny)
+                            r = r2 * invr
 
-                        # micro-diet: ci*gi and Pi*gbar are shared between
-                        # the momentum and energy accumulations
-                        cigi = ci * gi
-                        pigb = Pi * gbar
-                        fsum = cigi + cj * gj + pigb
-                        if grav is not None:
-                            # fused screened P3M short range: hard-cut at
-                            # the structure's coverage radius (exactly the
-                            # jnp gravity_short_pass convention). Mosaic
-                            # has no erfc lowering, so the TPU path uses
-                            # Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7 =
-                            # fp32-exact; shares one exp with the deriv
-                            # term); interpret mode keeps the exact erfc
-                            # so x64 parity vs the jnp walk holds at 1e-10.
-                            x = r * g_x
-                            e = jnp.exp(-x * x)
-                            if _interpret():
-                                screen = jax.lax.erfc(x) + r * g_sp * e
+                            qi = r * invh_i
+                            qj = r * invh_j
+                            ti = 2.0 - qi
+                            tj = 2.0 - qj
+                            gi = jnp.where(qi < 1.0, gc2_i * (2.25 * qi - 3.0),
+                                           (-0.75) * gc1_i * (ti * ti) * invr)
+                            gi = jnp.where(qi < 2.0, gi, 0.0)
+                            gj = jnp.where(qj < 1.0, gc2_j * (2.25 * qj - 3.0),
+                                           (-0.75) * gc1_j * (tj * tj) * invr)
+                            gj = jnp.where(qj < 2.0, gj, 0.0)
+                            gbar = 0.5 * (gi + gj)
+
+                            vdotr = sum(dv[d] * dx[d] for d in range(dim))
+                            hbar = 0.5 * (h_i + h_j)
+                            mu_den = r2 + epsv * hbar * hbar
+                            if fast:
+                                mu = (hbar * vdotr
+                                      * pl.reciprocal(mu_den, approx=True))
                             else:
-                                t_ = 1.0 / (1.0 + 0.3275911 * x)
-                                p_ = t_ * (0.254829592 + t_ * (
-                                    -0.284496736 + t_ * (1.421413741 + t_ * (
-                                        -1.453152027 + t_ * 1.061405429))))
-                                screen = e * (p_ + r * g_sp)
-                            tg = jax.lax.rsqrt(r2 + g_e2)
-                            gco = jnp.where((r2 > 0.0) & (r2 <= rcut2),
-                                            screen * (tg * tg * tg), 0.0)
-                            fsum = fsum + Gc * gco
-                        fcoef = m_j * fsum
-                        for d in range(dim):
-                            acc[d] -= fcoef * dx[d]
-                        acc[dim] += m_j * (cigi + 0.5 * pigb) * vdotr
+                                mu = hbar * vdotr / mu_den
+                            mu = jnp.where(vdotr < 0.0, mu, 0.0)
+                            cbar = 0.5 * (cs_i + cs_j)
+                            rhobar = 0.5 * (rho_i + rho_j)
+                            if fast:
+                                Pi = ((beta * mu - alpha * cbar) * mu
+                                      * pl.reciprocal(rhobar, approx=True))
+                            else:
+                                Pi = (beta * mu - alpha * cbar) * mu / rhobar
+                            if use_bf:
+                                Pi = Pi * (0.5 * (bf_i + bf_j))
+
+                            # micro-diet: ci*gi and Pi*gbar are shared between
+                            # the momentum and energy accumulations
+                            cigi = ci * gi
+                            pigb = Pi * gbar
+                            fsum = cigi + cj * gj + pigb
+                            if grav is not None:
+                                # fused screened P3M short range: hard-cut at
+                                # the structure's coverage radius (exactly the
+                                # jnp gravity_short_pass convention). Mosaic
+                                # has no erfc lowering, so the TPU path uses
+                                # Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7 =
+                                # fp32-exact; shares one exp with the deriv
+                                # term); interpret mode keeps the exact erfc
+                                # so x64 parity vs the jnp walk holds at 1e-10.
+                                x = r * g_x
+                                e = jnp.exp(-x * x)
+                                if _interpret():
+                                    screen = jax.lax.erfc(x) + r * g_sp * e
+                                else:
+                                    t_ = 1.0 / (1.0 + 0.3275911 * x)
+                                    p_ = t_ * (0.254829592 + t_ * (
+                                        -0.284496736 + t_ * (1.421413741 + t_ * (
+                                            -1.453152027 + t_ * 1.061405429))))
+                                    screen = e * (p_ + r * g_sp)
+                                tg = jax.lax.rsqrt(r2 + g_e2)
+                                gco = jnp.where((r2 > 0.0) & (r2 <= rcut2),
+                                                screen * (tg * tg * tg), 0.0)
+                                fsum = fsum + Gc * gco
+                            fcoef = m_j * fsum
+                            for d in range(dim):
+                                acc[d] -= fcoef * dx[d]
+                            acc[dim] += m_j * (cigi + 0.5 * pigb) * vdotr
+
+                for d in range(dim + 1):
+                    parts[d].append(jnp.sum(acc[d], axis=1, keepdims=True))
 
             for d in range(dim + 1):
-                parts[d].append(jnp.sum(acc[d], axis=1, keepdims=True))
+                vals = (parts[d][0] if R == 1
+                        else jnp.concatenate(parts[d], axis=0))
+                out_refs[d][:, :] = vals.reshape(1, T)
 
-        for d in range(dim + 1):
-            vals = (parts[d][0] if R == 1
-                    else jnp.concatenate(parts[d], axis=0))
-            out_refs[d][:, :] = vals.reshape(1, T)
+        @pl.when(tile_act == 0)
+        def _():
+            for d in range(dim + 1):
+                out_refs[d][:, :] = jnp.zeros((1, T), dtype)
+
+        @pl.when(tile_act > 0)
+        def _():
+            _body()
+
 
     own = ([pos_s[:, d] for d in range(dim)]
            + [vel_s[:, d] for d in range(dim)]
