@@ -97,17 +97,27 @@ def _derived_rungs(state: ParticleState, bf_prev, wd: WindowData,
     ``bf_now`` [n] is the current-best viscosity factor to carry.
     """
     n = state.n
+    dim = state.dim
     dtype = state.pos.dtype
-    act_s = win.gather_sorted(close_m.astype(dtype), wd) > 0.5
+    # ONE packed input gather per tick: activity flag, kinematics, thermo,
+    # and the stale h/rho/Omega/viscosity-factor carry all ride a single
+    # [N, K] row gather — the per-field form was the dominant per-tick
+    # fixed cost once tile skipping removed the compute (BASELINE.md)
+    cols = [close_m.astype(dtype)[:, None], state.pos, state.vel,
+            state.mass[:, None], state.u[:, None], state.h[:, None],
+            state.rho[:, None], state.omega[:, None], bf_prev[:, None]]
+    fills = [0.0] + [0.0] * (2 * dim) + [0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+    if cfg.mm_visc:
+        cols.append(state.alpha[:, None])
+        fills.append(1.0)
+    g_s = win.gather_sorted_cols(jnp.concatenate(cols, axis=-1), wd, fills)
+    act_s = g_s[:, 0] > 0.5
     wd_act = mask_structure(wd, spec, act_s)
-
-    pos_s = win.refresh_pos(state.pos, wd)
-    vel_s = win.gather_sorted(state.vel, wd)
-    mass_s = win.gather_sorted(state.mass, wd)
-    u_s = win.gather_sorted(state.u, wd)
-    h_s = win.gather_sorted(state.h, wd, fill=1.0)
-    alpha_s = (win.gather_sorted(state.alpha, wd, fill=1.0)
-               if cfg.mm_visc else None)
+    pos_s = g_s[:, 1:1 + dim] + wd.shift_s
+    vel_s = g_s[:, 1 + dim:1 + 2 * dim]
+    c0 = 1 + 2 * dim
+    mass_s, u_s, h_s = g_s[:, c0], g_s[:, c0 + 1], g_s[:, c0 + 2]
+    alpha_s = g_s[:, c0 + 6] if cfg.mm_visc else None
 
     h_f, rho_f, om_f, bf_f, divv_f = wengine.stage_density(
         wd_act, spec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
@@ -117,9 +127,7 @@ def _derived_rungs(state: ParticleState, bf_prev, wd: WindowData,
     # otherwise (pad rows select the stale branch, whose fill=1.0 matches
     # derived_with's conventions), then ONE packed owner-mirror gather
     fresh = jnp.stack([h_f, rho_f, om_f, bf_f], axis=-1)
-    stale = win.gather_sorted(
-        jnp.stack([state.h, state.rho, state.omega, bf_prev], axis=-1),
-        wd, fill=1.0)
+    stale = g_s[:, c0 + 2:c0 + 6]
     mirrored = jnp.where(act_s[:, None], fresh, stale)[wd.src]
     h_c, rho_c, om_c, bf_c = (mirrored[:, 0], mirrored[:, 1],
                               mirrored[:, 2], mirrored[:, 3])

@@ -457,6 +457,20 @@ def gather_sorted(field_orig, wd: WindowData, fill=0.0):
     return padded[jnp.minimum(wd.g, n)]
 
 
+def gather_sorted_cols(packed, wd: WindowData, fills):
+    """ONE sorted gather of K column-stacked fields ([N, K] -> [Ns, K]).
+
+    ``fills`` (length K) gives each column's pad value for rows beyond the
+    real particle count — the per-column twin of ``gather_sorted``'s
+    ``fill``. Packing replaces K row gathers with one; the per-field input
+    gathers were a measurable share of the per-step glue at N=1e6 and the
+    dominant per-tick fixed cost of the block-timestep loop (BASELINE.md).
+    """
+    n = packed.shape[0]
+    pad = jnp.asarray(fills, packed.dtype)[None, :]
+    return jnp.concatenate([packed, pad])[jnp.minimum(wd.g, n)]
+
+
 def mirror_owner(field_sorted, wd: WindowData):
     """Replace ghost rows with their owner's value (one gather)."""
     return field_sorted[wd.src]

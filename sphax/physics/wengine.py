@@ -341,14 +341,22 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
     if state.dim != cfg.dim:
         raise ValueError(f"state dim {state.dim} != cfg.dim {cfg.dim}")
     n = state.n
-    pos_s = win.refresh_pos(state.pos, wd)
-    vel_s = win.gather_sorted(state.vel, wd)
-    mass_s = win.gather_sorted(state.mass, wd)
-    u_s = win.gather_sorted(state.u, wd)
-    h_s = win.gather_sorted(state.h, wd, fill=1.0)
-
-    alpha_s = (win.gather_sorted(state.alpha, wd, fill=1.0)
-               if cfg.mm_visc else None)
+    dim = state.dim
+    # ONE packed input gather (pos/vel/mass/u/h[/alpha]); pos gets the image
+    # shifts added back (= refresh_pos on the packed columns)
+    cols = [state.pos, state.vel, state.mass[:, None], state.u[:, None],
+            state.h[:, None]]
+    fills = [0.0] * (2 * dim) + [0.0, 0.0, 1.0]
+    if cfg.mm_visc:
+        cols.append(state.alpha[:, None])
+        fills.append(1.0)
+    g_s = win.gather_sorted_cols(jnp.concatenate(cols, axis=-1), wd, fills)
+    pos_s = g_s[:, :dim] + wd.shift_s
+    vel_s = g_s[:, dim:2 * dim]
+    mass_s = g_s[:, 2 * dim]
+    u_s = g_s[:, 2 * dim + 1]
+    h_s = g_s[:, 2 * dim + 2]
+    alpha_s = g_s[:, 2 * dim + 3] if cfg.mm_visc else None
     h_s, rho_s, om_s, bf_s, divv_s = stage_density(
         wd, spec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
         use_pallas, alpha_s=alpha_s)
