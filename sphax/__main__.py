@@ -138,6 +138,16 @@ def main(argv=None):
                 # structural h-cap saturation: silent physics change if >0
                 extra["h_capped"] = int(wengine.capped_count(state,
                                                              prob.wspec))
+                if prob.cfg.gravity and prob.cfg.grav_solver == "p3m":
+                    # sorted-mesh fallback saturation: dropped rows lose
+                    # their mesh gravity silently -> abort like overflow
+                    n_fb, n_drop = wengine.mesh_fallback_count(
+                        state, prob.cfg, prob.domain, prob.wspec)
+                    extra["mesh_fb"] = int(n_fb)
+                    if int(n_drop):
+                        raise RuntimeError(
+                            f"sorted-mesh fallback overflow ({int(n_drop)} "
+                            f"rows dropped) at step {step}")
             rec = log.log(state, prob.cfg, t, step, **extra)
             capmsg = (f" h_capped={extra['h_capped']}"
                       if extra.get("h_capped") else "")

@@ -123,9 +123,11 @@ def rs_traced(cfg: SPHConfig, domain: Domain, dtype, cutoff=None):
     return rs
 
 
-def _solve_and_interp(grid, pos_eval, domain: Domain, G, rs, M, periodic):
-    """Shared back half: Green's function / Hockney solve + CIC interp."""
-    dtype = pos_eval.dtype
+def _solve_grids(grid, domain: Domain, G, rs, M, periodic):
+    """Poisson solve: mass grid -> [3, M, M, M] acceleration node grids
+    (periodic: k-space Green's function; open: Hockney zero-padded
+    convolution with sampled free-space force kernels)."""
+    dtype = grid.dtype
     lo = domain.lo.astype(dtype)
     ext = domain.extent.astype(dtype)
     cell = ext / M
@@ -151,9 +153,9 @@ def _solve_and_interp(grid, pos_eval, domain: Domain, G, rs, M, periodic):
         mhat = jnp.fft.fftn(grid)
         phihat = (-4.0 * jnp.pi * G * jnp.exp(-k2 * rs * rs) / k2 / W2) * mhat
         phihat = phihat.at[0, 0, 0].set(0.0)
-        acc_g = [jnp.real(jnp.fft.ifftn(-1j * kd * phihat)) / jnp.prod(cell)
-                 for kd in (kx, ky, kz)]
-        return _interp(acc_g, pos_eval, lo, cell, M, periodic=True)
+        return jnp.stack(
+            [jnp.real(jnp.fft.ifftn(-1j * kd * phihat)) / jnp.prod(cell)
+             for kd in (kx, ky, kz)])
     P = 2 * M
     gpad = jnp.zeros((P, P, P), dtype).at[:M, :M, :M].set(grid)
     ax = [jnp.arange(P) for _ in range(3)]
@@ -171,9 +173,17 @@ def _solve_and_interp(grid, pos_eval, domain: Domain, G, rs, M, periodic):
     fmag = jnp.where(r2 <= 0.0, 0.0, fmag)
     khat = [jnp.fft.fftn(rd * fmag) for rd in (rx, ry, rz)]
     mhat = jnp.fft.fftn(gpad)
-    acc_g = [jnp.real(jnp.fft.ifftn(mhat * kh))[:M, :M, :M] * (-G)
-             for kh in khat]
-    return _interp(acc_g, pos_eval, lo, cell, M, periodic=False)
+    return jnp.stack([jnp.real(jnp.fft.ifftn(mhat * kh))[:M, :M, :M] * (-G)
+                      for kh in khat])
+
+
+def _solve_and_interp(grid, pos_eval, domain: Domain, G, rs, M, periodic):
+    """Shared back half: Green's function / Hockney solve + CIC interp."""
+    dtype = pos_eval.dtype
+    cell = domain.extent.astype(dtype) / M
+    grids = _solve_grids(grid, domain, G, rs, M, periodic)
+    return _interp(list(grids), pos_eval, domain.lo.astype(dtype), cell, M,
+                   periodic)
 
 
 @partial(jax.jit, static_argnames=("cfg", "axis_name"))
@@ -206,6 +216,33 @@ def mesh_accel(pos, mass, cfg: SPHConfig, domain: Domain, rs=None,
         grid = jax.lax.psum(grid, axis_name)
     return _solve_and_interp(grid, pos_dep, domain, float(cfg.G), rs, M,
                              periodic)
+
+
+def mesh_accel_sorted(pos_s, mass_s, real_s, cfg: SPHConfig, domain: Domain,
+                      plan, rs=None, axis_name=None):
+    """`mesh_accel` over the SORTED window rows (ghosts mass-masked):
+    scatter-free CIC via pm_sorted's brick-matmul scan — measured levers in
+    BASELINE.md. Returns ([Ns, 3] accel at sorted rows, fallback-overflow
+    count; callers surface the counter like h_capped)."""
+    from sphax.physics import pm_sorted
+
+    M = int(cfg.grav_mesh)
+    dtype = pos_s.dtype
+    if rs is None:
+        rs = rs_traced(cfg, domain, dtype)
+    per = domain.periodic_axes(pos_s.shape[1])
+    periodic = all(per)
+    if not periodic and any(per):
+        raise NotImplementedError("P3M needs fully periodic or fully open "
+                                  "box")
+    w = jnp.where(real_s, mass_s, jnp.zeros((), dtype))
+    grid, d1 = pm_sorted.deposit_sorted(pos_s, w, domain, M, periodic, plan)
+    if axis_name is not None:
+        grid = jax.lax.psum(grid, axis_name)
+    grids = _solve_grids(grid, domain, float(cfg.G), rs, M, periodic)
+    acc, d2 = pm_sorted.interp_sorted(grids, pos_s, real_s, domain, M,
+                                      periodic, plan)
+    return acc, d1 + d2
 
 
 def rs_value(cfg: SPHConfig, domain: Domain):

@@ -387,8 +387,24 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
             # the SAME window candidates as the SPH forces. Proper Ewald
             # boundary conditions on periodic boxes (unlike the min-image
             # direct sum), free-space Hockney convolution on open ones.
-            acc_g = pm.mesh_accel(state.pos, state.mass, cfg, domain,
-                                  rs=rs_p3m)
+            if use_pallas:
+                # scatter-free sorted-order CIC (pm_sorted brick-matmul
+                # scan): XLA:TPU scatter is serialization-bound, ~60% of
+                # the whole mesh stage (BASELINE.md round-3 split). The
+                # fallback-capacity counter is a structural invariant like
+                # h_capped — surfaced via wengine.mesh_fallback_count, not
+                # threaded through the hot path.
+                from sphax.physics import pm_sorted
+
+                plan = pm_sorted.plan_mesh(spec, int(cfg.grav_mesh))
+                acc_gs, _mesh_drop = pm.mesh_accel_sorted(
+                    pos_s, mass_s, wd.is_real, cfg, domain, plan,
+                    rs=rs_p3m)
+                acc_s = acc_s + acc_gs
+                acc_g = None
+            else:
+                acc_g = pm.mesh_accel(state.pos, state.mass, cfg, domain,
+                                      rs=rs_p3m)
             if grav is None:
                 short_s = gravity_short_pass(wd, spec, pos_s, mass_s, cfg,
                                              domain, tile_block)
@@ -496,6 +512,26 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
 def overflow_count(state: ParticleState, domain: Domain, spec: WindowSpec):
     """Tiles whose candidate range exceeded wmax + dropped ghosts (must be 0)."""
     return win.build(state.pos, domain, spec).overflow
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def mesh_fallback_count(state: ParticleState, cfg: SPHConfig, domain: Domain,
+                        spec: WindowSpec):
+    """(fallback rows, dropped rows) of the sorted-mesh P3M path.
+
+    ``dropped`` must be zero — rows past the packed-fallback capacity
+    silently lose their mesh gravity, so the CLI logs this per metrics
+    interval on p3m runs exactly like h_capped (the capacity is ~Ns/4;
+    overflow means >25% of rows missed their program brick)."""
+    from sphax.physics import pm_sorted
+
+    M = int(cfg.grav_mesh)
+    plan = pm_sorted.plan_mesh(spec, M)
+    wd = win.build(state.pos, domain, spec)
+    periodic = all(domain.periodic_axes(state.dim))
+    mass_s = win.gather_sorted(state.mass, wd)
+    return pm_sorted.fallback_stats(
+        wd.pos_s, wd.is_real & (mass_s > 0), domain, M, periodic, plan)
 
 
 @partial(jax.jit, static_argnames=("spec",))
