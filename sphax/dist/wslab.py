@@ -566,9 +566,9 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec, nsteps: int,
             hmax = tuple(jnp.maximum(a, b) for a, b in zip(hmax, health))
             return (s, dr, hmax), dts
 
-        zero = jax.lax.pvary(jnp.zeros((), jnp.int32), AXIS)
-        drive = jax.tree_util.tree_map(lambda a: jax.lax.pvary(a, AXIS),
-                                       drive)
+        zero = jax.lax.pcast(jnp.zeros((), jnp.int32), AXIS, to="varying")
+        drive = jax.tree_util.tree_map(
+            lambda a: jax.lax.pcast(a, AXIS, to="varying"), drive)
         (st, drive, hmax), dts = jax.lax.scan(
             outer, (st, drive, (zero, zero)), None,
             length=nsteps // rebuild_every)

@@ -54,13 +54,13 @@ def test_production_engine_nan_clean_under_debug_nans(debug_nans):
     spec = win.plan_windows(dom, h_max=float(st.h.max()) * 1.3, n=st.n,
                             dim=3)
     outw = wengine.update_derived(st, CFG, dom, spec,
-                                  tile_block=4)
+                                  tile_block=32)
     assert bool(jnp.isfinite(outw.rho).all())
-    st2, _ = leapfrog.step(outw, CFG, dom,
-                           lambda s: wengine.update_derived(s, CFG, dom,
-                                                            spec,
-                                                            tile_block=4))
-    assert bool(jnp.isfinite(st2.rho).all())
+    # tile_block=32, no KDK step: under jax_debug_nans per-op dispatch
+    # dominates, so fewer/larger walk ops win (4 -> 32 measured 319 -> 243 s
+    # on this box) and the leapfrog wrapper would recompile the whole
+    # derived graph a second time for ~no new guard coverage — the slow
+    # twin below keeps a full KDK step under the sanitizer
 
 
 @pytest.mark.slow
@@ -79,7 +79,7 @@ def test_engines_nan_clean_under_debug_nans(debug_nans):
     spec = win.plan_windows(dom, h_max=float(st.h.max()) * 1.3, n=st.n,
                             dim=3)
     outw = wengine.update_derived(st, CFG, dom, spec,
-                                  tile_block=4)
+                                  tile_block=32)
     assert bool(jnp.isfinite(outw.rho).all())
 
 
