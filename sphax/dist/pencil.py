@@ -378,12 +378,30 @@ def _ship_hydro(cols_fills, routes, spec: PencilSpec):
             for (c, _), l, r in zip(comb1, hL, hR)]
 
 
+def _mesh_plan(cfg: SPHConfig, spec: PencilSpec):
+    """pm_sorted plan over the LOCAL window grid (host-side, static): both
+    cut axes cover only a pencil-sized fraction of the global mesh box, so
+    the mesh-nodes-per-cell brick ratios are scaled per axis (the wslab
+    twin scales only the slab axis)."""
+    from sphax.physics import pm_sorted
+
+    M = int(cfg.grav_mesh)
+    res = spec.wspec.res
+    f0 = (spec.trash_cells + 2 * spec.margin_cells0
+          + spec.res_max0) / spec.ncell0
+    f1 = (2 * spec.margin_cells1 + spec.res_max1) / spec.ncell1
+    npc = (M * f0 / res[0], M * f1 / res[1])
+    return pm_sorted.plan_mesh(spec.wspec, M, node_per_cell=npc)
+
+
 def _local_derived(st: ParticleState, wd, routes, slab_lo0, slab_lo1,
                    cfg: SPHConfig, domain: Domain, spec: PencilSpec,
-                   use_pallas: bool, tile_block: int):
+                   use_pallas: bool, tile_block: int,
+                   sorted_mesh: bool = False):
     """Window-engine derived pass for one pencil with two-phase, two-hop
     ghosts (the pencil twin of wslab._local_derived; same kernels, same
-    contracts, different exchange topology)."""
+    contracts, different exchange topology). Returns (state, mesh_drop) —
+    see wslab._local_derived."""
     nG = 2 * (spec.ghost_cap0 + spec.ghost_cap1)
     nl = st.n
     dim = st.dim
@@ -448,9 +466,22 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo0, slab_lo1,
                     axis=-1)[wd.inv]
     acc = out[:nl, 1:1 + dim]
 
+    mesh_drop = jnp.zeros((), jnp.int32)
     if cfg.gravity:
-        acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs_p3m,
-                              axis_name=AXES)
+        if sorted_mesh:
+            # scatter-free sorted-order CIC; deposit mask = owner sorted
+            # row of each LOCAL real particle (see wslab._local_derived)
+            own = wd.inv[:nl]
+            real_loc = st.mass > 0
+            mask_s = jnp.zeros((pos_s.shape[0],), bool).at[own].set(
+                real_loc)
+            acc_ms, mesh_drop = pm.mesh_accel_sorted(
+                pos_s, mass_s, mask_s, cfg, domain, _mesh_plan(cfg, spec),
+                rs=rs_p3m, axis_name=AXES)
+            acc_m = jnp.where(real_loc[:, None], acc_ms[own], 0.0)
+        else:
+            acc_m = pm.mesh_accel(st.pos, st.mass, cfg, domain, rs=rs_p3m,
+                                  axis_name=AXES)
         acc = acc + acc_m
         if grav is None:
             short_s = wengine.gravity_short_pass(wd, wspec, pos_s, mass_s,
@@ -459,7 +490,7 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo0, slab_lo1,
 
     return st._replace(h=loc(h_c), rho=loc(rho_c), P=loc(P_c),
                        cs=loc(cs_c), omega=loc(om_c), du_dt=loc(out[:, 0]),
-                       acc=acc, divv=loc(divv_c))
+                       acc=acc, divv=loc(divv_c)), mesh_drop
 
 
 # ---------------------------------------------------------------------------
@@ -473,12 +504,16 @@ def _psum2(v):
 
 def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec, nsteps: int,
                use_pallas: Optional[bool] = None, tile_block: int = 16,
-               rebuild_every: int = 1, drive_spec=None):
+               rebuild_every: int = 1, drive_spec=None,
+               sorted_mesh: Optional[bool] = None):
     """Jitted scan of ``nsteps`` distributed KDK steps with window-
     structure reuse — the pencil twin of wslab.make_chunk (same Verlet-skin
-    contract, same replicated OU driving)."""
+    contract, same replicated OU driving, same ``sorted_mesh`` P3M mesh
+    choice with its fallback overflow folded into health[1])."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if sorted_mesh is None:
+        sorted_mesh = use_pallas
     if nsteps % rebuild_every:
         raise ValueError("nsteps must be a multiple of rebuild_every")
 
@@ -496,9 +531,10 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec, nsteps: int,
             half = 0.5 * dt
             vel = s.vel + half * s.acc
             u = jnp.maximum(s.u + half * s.du_dt, cfg.u_floor)
-            s = _local_derived(
+            s, mdrop = _local_derived(
                 s._replace(pos=s.pos + dt * vel, vel=vel, u=u), wd, routes,
-                lo0, lo1, cfg, domain, spec, use_pallas, tile_block)
+                lo0, lo1, cfg, domain, spec, use_pallas, tile_block,
+                sorted_mesh=sorted_mesh)
             if drive_spec is not None:
                 a = drv_mod.acceleration(s.pos, dr, modes,
                                          drive_spec.box_size)
@@ -511,18 +547,18 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec, nsteps: int,
 
                 s = s._replace(alpha=pairs.mm_alpha_update(
                     s.alpha, s.divv, s.h, s.cs, dt, cfg))
-            return (s, dr, wd, routes, lo0, lo1), dt
+            return (s, dr, wd, routes, lo0, lo1), (dt, mdrop)
 
         def outer(carry, _):
             s, dr, hmax = carry
             s = s._replace(pos=_wrap_other(s.pos, domain))
             wd, routes, lo0, lo1, dropped = _exchange_and_build(
                 s, cuts0, cuts1, domain, spec)
-            (s, dr, _, _, _, _), dts = jax.lax.scan(
+            (s, dr, _, _, _, _), (dts, mdrops) = jax.lax.scan(
                 inner, (s, dr, wd, routes, lo0, lo1), None,
                 length=rebuild_every)
             health = (jnp.asarray(dropped, jnp.int32),
-                      wd.overflow.astype(jnp.int32))
+                      wd.overflow.astype(jnp.int32) + jnp.max(mdrops))
             hmax = tuple(jnp.maximum(a, b) for a, b in zip(hmax, health))
             return (s, dr, hmax), dts
 
@@ -573,10 +609,13 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec, nsteps: int,
 
 
 def make_step(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec,
-              use_pallas: Optional[bool] = None, tile_block: int = 16):
+              use_pallas: Optional[bool] = None, tile_block: int = 16,
+              sorted_mesh: Optional[bool] = None):
     """Jitted distributed KDK step (fresh structure every call)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
+    if sorted_mesh is None:
+        sorted_mesh = use_pallas
 
     def local_step(st: ParticleState, cuts0, cuts1, domain: Domain):
         st = st._replace(pos=_wrap_other(st.pos, domain))
@@ -586,9 +625,10 @@ def make_step(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec,
         half = 0.5 * dt
         vel = st.vel + half * st.acc
         u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
-        st = _local_derived(
+        st, mdrop = _local_derived(
             st._replace(pos=st.pos + dt * vel, vel=vel, u=u), wd, routes,
-            lo0, lo1, cfg, domain, spec, use_pallas, tile_block)
+            lo0, lo1, cfg, domain, spec, use_pallas, tile_block,
+            sorted_mesh=sorted_mesh)
         vel = st.vel + half * st.acc
         u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
         st = st._replace(vel=vel, u=u)
@@ -598,7 +638,7 @@ def make_step(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec,
             st = st._replace(alpha=pairs.mm_alpha_update(
                 st.alpha, st.divv, st.h, st.cs, dt, cfg))
         health = (jnp.asarray(dropped, jnp.int32),
-                  wd.overflow.astype(jnp.int32))
+                  wd.overflow.astype(jnp.int32) + mdrop)
         health = tuple(_psum2(hh) for hh in health)
         return st, dt, health
 

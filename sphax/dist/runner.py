@@ -90,8 +90,9 @@ class SlabRun:
                                "re-plan with larger ghost capacity")
         if int(health[1]):
             raise RuntimeError(
-                f"window structure overflow ({int(health[1])}); re-plan "
-                "with larger wseg/ghost capacities")
+                f"structure overflow ({int(health[1])}: window segments "
+                "or P3M mesh-fallback capacity); re-plan with larger "
+                "wseg/ghost/mesh-fallback capacities")
         self._nchunks += 1
         if self.rebalance_every and \
                 self._nchunks % self.rebalance_every == 0:

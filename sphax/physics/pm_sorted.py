@@ -58,18 +58,28 @@ class MeshPlan:
     cap: int  # packed-fallback capacity (rows outside their brick)
 
 
-def plan_mesh(spec: WindowSpec, M: int) -> MeshPlan:
+def plan_mesh(spec: WindowSpec, M: int, node_per_cell=None) -> MeshPlan:
     """Host-side plan: brick extents from the coarse-cell -> mesh-cell
     ratio and the estimated pencil occupancy. G shrinks until a program's
     expected transverse span fits a <=32-node brick (the scan cost rises
     only logarithmically with fewer rows per program; the brick matmul
-    cost rises linearly with By)."""
+    cost rises linearly with By).
+
+    ``node_per_cell`` ((rx, ry), optional): mesh nodes per window cell on
+    the two transverse axes. The default assumes the window domain IS the
+    mesh domain; distributed shards build windows over a LOCAL bin box
+    spanning only a fraction of the global mesh box, so they must pass the
+    scaled ratios (dist.wslab._mesh_plan) or the bricks come out ns-times
+    too wide."""
     res = spec.res
     if len(res) != 3:
         raise ValueError("sorted mesh path is 3D-only (like pm._deposit)")
     Ns = spec.n_sorted
-    rx = M / res[0]
-    ry = M / res[1]
+    if node_per_cell is not None:
+        rx, ry = node_per_cell
+    else:
+        rx = M / res[0]
+        ry = M / res[1]
     occ = max(Ns / (res[0] * res[1]), 1.0)  # sorted rows per pencil
 
     def by_for(g):

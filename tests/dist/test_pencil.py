@@ -111,6 +111,44 @@ def test_pencil_chunk_reuse_matches_single_device():
     _compare(pencil.gather_real(sh), ref, dom)
 
 
+def test_pencil_p3m_gravity_matches_single_device():
+    """Periodic distributed P3M on the 2D mesh with the production
+    sorted-mesh CIC (brick-matmul deposit/interp over the sorted rows,
+    owner-local deposit mask, grid psum over BOTH mesh axes, periodic
+    margin fold) == the single-device dense-engine P3M. pm_sorted is plain
+    jnp, so the CPU mesh pins the exact production math."""
+    cfg = SPHConfig(dim=3, adaptive_h=False, grad_h=False,
+                    gravity=True, G=1.3, grav_eps=0.004,
+                    grav_solver="p3m", grav_mesh=32, grav_rs_cells=2.0)
+    st, dom = _problem(cfg)
+
+    engine = lambda s: dense.update_derived(s, cfg, dom, block=64)
+    ref = engine(st)
+    for _ in range(2):
+        ref, _ = leapfrog.step(ref, cfg, dom, engine, wrap=False)
+
+    mesh, spec, cuts0, cuts1 = _setup_pencil(st, dom, ns0=2, ns1=2)
+    sh = pencil.distribute(engine(st), dom, mesh, spec, np.asarray(cuts0),
+                           np.asarray(cuts1))
+    mr, gdrop = pencil.make_max_run(mesh, spec)(sh, cuts0, cuts1, dom)
+    assert int(gdrop) == 0
+    spec = pencil.refine_wseg(spec, int(mr))
+    step = pencil.make_step(mesh, cfg, spec, sorted_mesh=True)
+    for _ in range(2):
+        sh, dt, health = step(sh, cuts0, cuts1, dom)
+        assert int(health[0]) == 0, "ghosts dropped"
+        assert int(health[1]) == 0, "structure/mesh-fallback overflow"
+
+    got = pencil.gather_real(sh)
+    oi, oj = _order(got, dom), _order(ref, dom)
+    for f in ("pos", "vel", "rho", "acc"):
+        a = np.asarray(getattr(got, f))[oi]
+        b = np.asarray(getattr(ref, f))[oj]
+        scale = np.max(np.abs(b)) + 1e-30
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3 * scale,
+                                   err_msg=f)
+
+
 def test_pencil_migrate_and_rebalance():
     """Clustered ICs: per-axis quantile cuts must cap the count imbalance,
     and repeated migrate passes must drive the misplaced count to zero

@@ -280,11 +280,18 @@ def test_wslab_gravity_matches_single_device():
                                    err_msg=f)
 
 
-def test_wslab_p3m_gravity_matches_single_device():
+@pytest.mark.parametrize("sorted_mesh", [
+    True, pytest.param(False, marks=pytest.mark.slow)])
+def test_wslab_p3m_gravity_matches_single_device(sorted_mesh):
     """Distributed P3M (psum'd mesh deposits + per-shard screened short
     range) == the single-device dense-engine P3M at fp tolerance: the mesh
     grids are bitwise-equivalent up to summation order, and the ghost
-    margin covers every short-range pair."""
+    margin covers every short-range pair.
+
+    sorted_mesh=True is the production TPU path (scatter-free brick-matmul
+    CIC over the sorted rows with the owner-local deposit mask) — pm_sorted
+    is plain jnp, so the CPU mesh pins its distributed parity exactly; the
+    scatter path rides the slow tier."""
     cfg = SPHConfig(dim=3, adaptive_h=False, grad_h=False,
                     gravity=True, G=1.3, grav_eps=0.004,
                     grav_solver="p3m", grav_mesh=64, grav_rs_cells=2.0)
@@ -310,7 +317,7 @@ def test_wslab_p3m_gravity_matches_single_device():
     sh = wslab.distribute(engine(st), dom, mesh, spec, cuts)
     mr, _ = wslab.make_max_run(mesh, spec)(sh, jnp.asarray(cuts), dom)
     spec = wslab.refine_wseg(spec, int(mr))
-    step = wslab.make_step(mesh, cfg, spec)
+    step = wslab.make_step(mesh, cfg, spec, sorted_mesh=sorted_mesh)
     for _ in range(2):
         sh, dt, health = step(sh, jnp.asarray(cuts), dom)
         assert int(health[0]) == 0 and int(health[1]) == 0
