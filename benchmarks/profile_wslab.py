@@ -60,8 +60,11 @@ def main():
 
     # ---- wslab degenerate 1-mesh ----
     mesh = wslab.make_mesh(1)
+    fs = int(os.environ.get("WSLAB_FAST_SUB", 3))
+    rg = int(os.environ.get("WSLAB_RGROUPS", 2))
     spec = wslab.plan(dom, st.n, h_max=float(st.h.max()) * 1.05, n_shards=1,
-                      cutoff_scale=1.05, ghost_safety=1.4)
+                      cutoff_scale=1.05, ghost_safety=1.4,
+                      fast_sub=fs, rgroups=rg)
     cuts = jnp.asarray(wslab.equal_cuts(spec.ncell_ax, 1))
     sh = wslab.distribute(st, dom, mesh, spec, np.asarray(cuts))
     mr, _ = wslab.make_max_run(mesh, spec)(sh, cuts, dom)
@@ -104,11 +107,86 @@ def main():
         wd, routes, slab_lo, _ = wslab._exchange_and_build(s, c, d, spec)
         out, _ = wslab._local_derived(s, wd, routes, slab_lo, cfg, d, spec,
                                       True, 16, cuts=c)
-        return out.rho
-    body_f = sm(stepbody, P(wslab.AXIS))
+        # consume every output so XLA cannot dead-code kernel C
+        return (out.rho, out.acc, out.du_dt, out.h, out.P)
+    body_f = sm(stepbody, (P(wslab.AXIS),) * 5)
     t_bd, _ = timeit(body_f, sh, cuts, dom, reps=3)
     print(f"  build + derived:         {t_bd*1e3:7.1f} ms -> derived alone "
           f"~{(t_bd-t_bb)*1e3:7.1f} ms (vs wengine {t_d1*1e3:.1f})")
+
+    # ---- stage split inside the wslab derived pass ----
+    def stages(s, c, d):
+        from sphax.physics.eos import eos as eos_f
+        wd, routes, slab_lo, _ = wslab._exchange_and_build(s, c, d, spec)
+        G = spec.ghost_cap
+        dim = s.dim
+        dt = s.pos.dtype
+        comb_pos, comb_vel, comb_mass = wslab._ship_kinematics(
+            s, routes, slab_lo, d, spec)
+        comb_u = jnp.concatenate([s.u, jnp.zeros((2 * G,), dt)])
+        comb_h = jnp.concatenate([s.h, jnp.ones((2 * G,), dt)])
+        cols = [comb_pos, comb_vel, comb_mass[:, None], comb_u[:, None],
+                comb_h[:, None]]
+        fills = [0.0] * (2 * dim) + [0.0, 0.0, 1.0]
+        g_s = win.gather_sorted_cols(jnp.concatenate(cols, -1), wd, fills)
+        pos_s = g_s[:, :dim] + wd.shift_s
+        vel_s = g_s[:, dim:2 * dim]
+        mass_s = g_s[:, 2 * dim]
+        u_s = g_s[:, 2 * dim + 1]
+        h_s = jnp.where(mass_s > 0, g_s[:, 2 * dim + 2], 1.0)
+        h_f, rho_f, om_f, bf_f, divv_f = wengine.stage_density(
+            wd, spec.wspec, cfg, pos_s, vel_s, mass_s, u_s, h_s, 16, True)
+        dsc = jnp.stack([h_f, rho_f, om_f, bf_f, divv_f], -1)[wd.inv]
+        P_c, cs_c = eos_f(dsc[:, 1], comb_u, cfg)
+        nl = s.n
+        loc_hyd = jnp.stack([dsc[:nl, 0], dsc[:nl, 1], P_c[:nl], cs_c[:nl],
+                             dsc[:nl, 2], dsc[:nl, 3]], -1)
+        pl, pr = wslab._perms(spec.n_shards)
+        fillsh = (1.0, 1.0, 0.0, 0.0, 1.0, 0.0)
+        gR2 = wslab._exchange(loc_hyd, fillsh, routes[0], pl)
+        gL2 = wslab._exchange(loc_hyd, fillsh, routes[1], pr)
+        hyd = jnp.concatenate([loc_hyd, gL2, gR2], 0)
+        hyd_s = win.gather_sorted(hyd, wd)
+        h2 = jnp.where(mass_s > 0, hyd_s[:, 0], 1.0)
+        rho2 = jnp.maximum(hyd_s[:, 1], 1e-15)
+        om2 = jnp.where(mass_s > 0, hyd_s[:, 4], 1.0)
+        acc_s, du_s = wengine.stage_forces(
+            wd, spec.wspec, cfg, pos_s, vel_s, mass_s, h2, rho2,
+            hyd_s[:, 2], hyd_s[:, 3], om2, hyd_s[:, 5], 16, True)
+        out = jnp.stack([du_s] + [acc_s[:, dd] for dd in range(dim)],
+                        -1)[wd.inv]
+        return (g_s.sum(), dsc.sum(), hyd_s.sum(), du_s.sum(), out.sum())
+    parts = sm(stages, (P(), P(), P(), P(), P()))
+    jax.block_until_ready(parts(sh, cuts, dom))
+    # timeline via sequential truncation is unreliable under fusion; use
+    # named probes instead: time the same graph with later stages DCE'd
+    def upto(k):
+        def f(s, c, d):
+            outs = stages(s, c, d)
+            return outs[k]
+        return sm(f, P())
+    labels = ["build+gather", "+kernelA+unsort", "+phase2+resort",
+              "+kernelC", "+final unsort"]
+    prev = 0.0
+    for k, lab in enumerate(labels):
+        t_k, _ = timeit(upto(k), sh, cuts, dom, reps=3)
+        print(f"  {lab:18s}: {t_k*1e3:7.1f} ms (+{(t_k-prev)*1e3:6.1f})")
+        prev = t_k
+
+    # ---- wseg headroom A/B (refine_wseg default is 1.6) ----
+    for hr in (1.25,):
+        spec_hr = wslab.refine_wseg(
+            dataclasses.replace(spec, wspec=dataclasses.replace(
+                spec.wspec, wseg=spec1.wseg)), int(mr), headroom=hr)
+        if spec_hr.wspec.wseg == spec.wspec.wseg:
+            print(f"  headroom {hr}: wseg unchanged ({spec.wspec.wseg})")
+            continue
+        chunk_hr = wslab.make_chunk(mesh, cfg, spec_hr, nsteps=4,
+                                    rebuild_every=2, use_pallas=True)
+        t_hr, out = timeit(chunk_hr, sh, cuts, dom, reps=3)
+        print(f"  headroom {hr} (wseg {spec_hr.wspec.wseg}): "
+              f"{t_hr/4*1e3:7.1f} ms/step, overflow "
+              f"{int(out[2][1])}")
 
 
 if __name__ == "__main__":

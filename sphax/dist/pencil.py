@@ -110,8 +110,10 @@ def plan(domain: Domain, n: int, h_max: float, ns0: int, ns1: int,
          cutoff_scale: float = 1.2, margin_scale: float = 1.05,
          pad_factor: float = 1.5, ghost_safety: float = 2.0,
          migrate_frac: float = 0.25, balance_headroom: float = 1.6,
-         seg_safety: float = 1.35, tile: int = 128) -> PencilSpec:
-    """Choose static decomposition parameters from problem scales."""
+         seg_safety: float = 1.35, tile: int = 128, fast_sub: int = 1,
+         rgroups: int = 1) -> PencilSpec:
+    """Choose static decomposition parameters from problem scales
+    (fast_sub/rgroups: see wslab.plan — production TPU runs 3/2)."""
     lo = np.asarray(domain.lo, np.float64)
     hi = np.asarray(domain.hi, np.float64)
     ext = hi - lo
@@ -164,7 +166,8 @@ def plan(domain: Domain, n: int, h_max: float, ns0: int, ns1: int,
     wspec = win.plan_windows(local_dom, h_max=h_max, n=nl + 2 * (G0 + G1),
                              dim=dim, tile=tile, cutoff_scale=cutoff_scale,
                              ghost_safety=ghost_safety,
-                             seg_safety=seg_safety)
+                             seg_safety=seg_safety, fast_sub=fast_sub,
+                             rgroups=rgroups)
     return PencilSpec(ns0=ns0, ns1=ns1, n_local=nl, ghost_cap0=G0,
                       ghost_cap1=G1, migrate_cap=M, ncell0=ncell[0],
                       ncell1=ncell[1], res_max0=res_max[0],
@@ -410,19 +413,22 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo0, slab_lo1,
     comb_pos, comb_vel, comb_mass = _ship_kinematics(
         st, routes, slab_lo0, slab_lo1, domain, spec)
     comb_u = jnp.concatenate([st.u, jnp.zeros((nG,), dtype)])
-    pos_s = win.refresh_pos(comb_pos, wd)
-    cols = [comb_vel, comb_mass[:, None],
-            comb_u[:, None],
+    # ONE packed input gather, pos refreshed by adding image shifts back
+    # (the wengine.derived_with / wslab pattern)
+    cols = [comb_pos, comb_vel, comb_mass[:, None], comb_u[:, None],
             jnp.concatenate([st.h, jnp.ones((nG,), dtype)])[:, None]]
+    fills = [0.0] * (2 * dim) + [0.0, 0.0, 1.0]
     if cfg.mm_visc:
         cols.append(jnp.concatenate([st.alpha,
                                      jnp.ones((nG,), dtype)])[:, None])
-    gat_s = win.gather_sorted(jnp.concatenate(cols, axis=-1), wd)
-    vel_s = gat_s[:, :dim]
-    mass_s = gat_s[:, dim]
-    u_s = gat_s[:, dim + 1]
-    h_s = jnp.where(mass_s > 0, gat_s[:, dim + 2], 1.0)
-    alpha_s = gat_s[:, dim + 3] if cfg.mm_visc else None
+        fills.append(1.0)
+    gat_s = win.gather_sorted_cols(jnp.concatenate(cols, axis=-1), wd, fills)
+    pos_s = gat_s[:, :dim] + wd.shift_s
+    vel_s = gat_s[:, dim:2 * dim]
+    mass_s = gat_s[:, 2 * dim]
+    u_s = gat_s[:, 2 * dim + 1]
+    h_s = jnp.where(mass_s > 0, gat_s[:, 2 * dim + 2], 1.0)
+    alpha_s = gat_s[:, 2 * dim + 3] if cfg.mm_visc else None
 
     # ---- kernel A; owner-valid on LOCAL rows ----
     h_s, rho_s, om_s, bf_s, divv_s = wengine.stage_density(

@@ -53,6 +53,12 @@ class SlabRun:
         self._nchunks = 0
 
         self.mesh = wslab.make_mesh(n_shards)
+        if jax.default_backend() != "cpu":
+            # production single-chip window knobs (BASELINE.md round-3:
+            # 1.15x on the wslab step); CPU meshes keep the smaller
+            # graphs/compile times of the 1/1 default
+            plan_kw.setdefault("fast_sub", 3)
+            plan_kw.setdefault("rgroups", 2)
         spec = wslab.plan(domain, state.n,
                           h_max=float(state.h.max()) * h_margin,
                           n_shards=n_shards, **plan_kw)

@@ -108,8 +108,14 @@ def plan(domain: Domain, n: int, h_max: float, n_shards: int,
          margin_scale: float = 1.05, pad_factor: float = 1.35,
          ghost_safety: float = 2.0, migrate_frac: float = 0.25,
          balance_headroom: float = 1.6, seg_safety: float = 1.35,
-         tile: int = 128) -> WSlabSpec:
-    """Choose static decomposition parameters from problem scales."""
+         tile: int = 128, fast_sub: int = 1, rgroups: int = 1) -> WSlabSpec:
+    """Choose static decomposition parameters from problem scales.
+
+    ``fast_sub``/``rgroups`` pass through to the per-shard window plan; the
+    production TPU config is fast_sub=3, rgroups=2 (the single-chip bench
+    knobs — measured 1.15x on the degenerate-mesh wslab step, BASELINE.md
+    round-3), kept at 1/1 by default because the CPU-mesh parity tests and
+    the compile-time-budgeted dryrun gate want the smaller graphs."""
     lo = np.asarray(domain.lo, np.float64)
     hi = np.asarray(domain.hi, np.float64)
     ext = hi - lo
@@ -152,7 +158,8 @@ def plan(domain: Domain, n: int, h_max: float, n_shards: int,
     wspec = win.plan_windows(local_dom, h_max=h_max, n=nl + 2 * G, dim=dim,
                              tile=tile, cutoff_scale=cutoff_scale,
                              ghost_safety=ghost_safety,
-                             seg_safety=seg_safety)
+                             seg_safety=seg_safety, fast_sub=fast_sub,
+                             rgroups=rgroups)
     return WSlabSpec(n_shards=n_shards, n_local=nl, ghost_cap=G,
                      migrate_cap=M, slab_axis=slab_axis, ncell_ax=ncell_ax,
                      res_max=res_max, margin_cells=margin_cells, wspec=wspec)
@@ -400,17 +407,23 @@ def _local_derived(st: ParticleState, wd, routes, slab_lo, cfg: SPHConfig,
                                                      domain, spec)
     comb_u = jnp.concatenate([st.u, jnp.zeros((2 * G,), dtype)])
     comb_h = jnp.concatenate([st.h, jnp.ones((2 * G,), dtype)])
-    pos_s = win.refresh_pos(comb_pos, wd)
-    cols = [comb_vel, comb_mass[:, None], comb_u[:, None], comb_h[:, None]]
+    # ONE packed input gather (pos/vel/mass/u/h[/alpha]), pos refreshed by
+    # adding the image shifts back — the wengine.derived_with pattern
+    # (per-field gathers were ~25% of single-chip step time, BASELINE.md)
+    cols = [comb_pos, comb_vel, comb_mass[:, None], comb_u[:, None],
+            comb_h[:, None]]
+    fills = [0.0] * (2 * dim) + [0.0, 0.0, 1.0]
     if cfg.mm_visc:
         cols.append(jnp.concatenate([st.alpha,
                                      jnp.ones((2 * G,), dtype)])[:, None])
-    gat_s = win.gather_sorted(jnp.concatenate(cols, axis=-1), wd)
-    vel_s = gat_s[:, :dim]
-    mass_s = gat_s[:, dim]
-    u_s = gat_s[:, dim + 1]
-    h_s = jnp.where(mass_s > 0, gat_s[:, dim + 2], 1.0)
-    alpha_s = gat_s[:, dim + 3] if cfg.mm_visc else None
+        fills.append(1.0)
+    gat_s = win.gather_sorted_cols(jnp.concatenate(cols, axis=-1), wd, fills)
+    pos_s = gat_s[:, :dim] + wd.shift_s
+    vel_s = gat_s[:, dim:2 * dim]
+    mass_s = gat_s[:, 2 * dim]
+    u_s = gat_s[:, 2 * dim + 1]
+    h_s = jnp.where(mass_s > 0, gat_s[:, 2 * dim + 2], 1.0)
+    alpha_s = gat_s[:, 2 * dim + 3] if cfg.mm_visc else None
 
     # ---- kernel A (+ Omega, viscosity factor); owner-valid on LOCAL rows ----
     h_s, rho_s, om_s, bf_s, divv_s = wengine.stage_density(
