@@ -234,10 +234,14 @@ def _wrap_transverse(pos, domain: Domain, ax: int):
 def _pack_select(mask, G):
     """Indices of up to G True entries (stable), their validity, and the
     DROPPED count (entries beyond capacity — must be zero; psum'd out as a
-    health counter, round-1 advisor finding #1)."""
-    order = jnp.argsort(jnp.logical_not(mask))
-    take = order[:G]
-    valid = mask[take]
+    health counter, round-1 advisor finding #1). One single-operand sort
+    (the boolean-argsort form costs a 2-operand sort_key_val; see
+    window._pack_offset)."""
+    n = mask.shape[0]
+    key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
+    take = jax.lax.sort(key)[:G]
+    valid = take < n
+    take = jnp.minimum(take, n - 1)
     dropped = jnp.maximum(jnp.sum(mask) - G, 0)
     return take, valid, dropped
 

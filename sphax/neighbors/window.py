@@ -222,12 +222,19 @@ class WindowData(NamedTuple):
 
 
 def _pack_offset(mask, orig_idx, cap, n):
-    pos = jnp.cumsum(mask) - 1
-    tgt = jnp.where(mask & (pos < cap), pos, cap)
-    buf = jnp.full((cap + 1,), n, jnp.int32)
-    buf = buf.at[tgt].set(orig_idx, mode="drop")
-    dropped = jnp.sum(mask) - jnp.sum(buf[:cap] < n)
-    return buf[:cap], dropped
+    """First-``cap`` indices of True entries (row order), sentinel ``n``
+    beyond/over capacity, plus the dropped count.
+
+    ``orig_idx`` must be strictly increasing with values < ``n`` (both
+    call sites pass ``arange``): the pack is then ONE single-operand sort
+    of ``where(mask, orig_idx, n)`` — measured 2x faster on TPU than the
+    cumsum+scatter form (scatter is per-update serialization-bound:
+    8.9 -> 4.5 ms at n=1.3M, cap=32k; six of these packs run per window
+    build, BASELINE.md round-3)."""
+    key = jnp.where(mask, orig_idx.astype(jnp.int32), n)
+    take = jax.lax.sort(key)[:cap]
+    dropped = jnp.maximum(jnp.sum(mask) - cap, 0)
+    return take, dropped
 
 
 def build(pos, domain: Domain, spec: WindowSpec, active=None,
