@@ -45,8 +45,9 @@ def main():
     # 6 iters for cold solves) and fast_math approximates the two per-pair
     # reciprocals in the viscosity term (~1e-3 rel error on an O(1)-
     # calibrated dissipation term; parity suites run with it off)
+    h_pred = bool(int(os.environ.get("BENCH_HPRED", 1)))
     cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=1,
-                              fast_math=True)
+                              fast_math=True, h_predict=h_pred)
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
     st = sphax.make_state(*(f32(ic[k]) for k in

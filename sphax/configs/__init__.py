@@ -82,6 +82,22 @@ class SPHConfig:
     # opt-in and excluded from parity suites. Ignored off-TPU.
     fast_math: bool = False
 
+    # Production h predictor (GADGET-class, Springel 2005 eq. continuity
+    # closure): instead of re-walking the candidate windows inside the
+    # Newton iteration, h is advanced through the drift by
+    # dh/dt = (h / dim) * div v (leapfrog.step) and corrected by ONE
+    # lagged Newton update built from the SAME walk's density sums
+    # (wengine.stage_density) — so kernel A runs exactly one pair walk per
+    # step instead of two at newton_iters=1. The h used by the force walk
+    # then differs from the h the density sums were made at by the Newton
+    # increment (~ the consistency residual, measured 4e-4-class — same
+    # accuracy family as the newton_iters=1 warm start it replaces).
+    # Requires adaptive_h, a converged initial h (update_derived ignores
+    # the flag, so cold starts still run the full Newton solve), and
+    # cfg.need_divv (the predictor reads state.divv). Opt-in; excluded
+    # from the 1e-6 reference-parity suites like fast_math.
+    h_predict: bool = False
+
     @property
     def support(self) -> float:
         return 2.0

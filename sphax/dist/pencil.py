@@ -537,8 +537,14 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec, nsteps: int,
             half = 0.5 * dt
             vel = s.vel + half * s.acc
             u = jnp.maximum(s.u + half * s.du_dt, cfg.u_floor)
+            s = s._replace(pos=s.pos + dt * vel, vel=vel, u=u)
+            if cfg.h_predict and cfg.adaptive_h:
+                # continuity h predictor — same placement as leapfrog.step
+                # / wslab: before the ghost exchange + derived pass
+                fac = jnp.clip(1.0 + (dt / cfg.dim) * s.divv, 0.9, 1.1)
+                s = s._replace(h=s.h * fac)
             s, mdrop = _local_derived(
-                s._replace(pos=s.pos + dt * vel, vel=vel, u=u), wd, routes,
+                s, wd, routes,
                 lo0, lo1, cfg, domain, spec, use_pallas, tile_block,
                 sorted_mesh=sorted_mesh)
             if drive_spec is not None:

@@ -602,8 +602,17 @@ def make_chunk(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec, nsteps: int,
             half = 0.5 * dt
             vel = s.vel + half * s.acc
             u = jnp.maximum(s.u + half * s.du_dt, cfg.u_floor)
+            s = s._replace(pos=s.pos + dt * vel, vel=vel, u=u)
+            if cfg.h_predict and cfg.adaptive_h:
+                # continuity h predictor — identical placement to
+                # leapfrog.step: before the derived pass (so the phase-1
+                # ghost exchange ships predicted h, exactly as the
+                # single-chip packed gather does). Trash rows carry
+                # divv = 0 -> factor 1.
+                fac = jnp.clip(1.0 + (dt / cfg.dim) * s.divv, 0.9, 1.1)
+                s = s._replace(h=s.h * fac)
             s, mdrop = _local_derived(
-                s._replace(pos=s.pos + dt * vel, vel=vel, u=u), wd, routes,
+                s, wd, routes,
                 slab_lo, cfg, domain, spec, use_pallas, tile_block,
                 cuts=cuts, sorted_mesh=sorted_mesh)
             if drive_spec is not None:

@@ -38,7 +38,18 @@ def step(state: ParticleState, cfg: SPHConfig, domain: Domain,
     pos = state.pos + dt * vel
     if wrap:
         pos = domain.wrap(pos)
-    state = derived_fn(state._replace(pos=pos, vel=vel, u=u))
+    state = state._replace(pos=pos, vel=vel, u=u)
+    if cfg.h_predict and cfg.adaptive_h:
+        # continuity predictor dh/dt = (h/dim) div v, advanced through this
+        # drift; the derived pass then walks ONCE at the predicted h and
+        # applies a lagged Newton correction (wengine.stage_density). The
+        # multiplier clamp bounds a pathological local divv estimate to a
+        # 10% single-step change (the Newton clamp downstream does the
+        # rest); with cfg.need_divv off, divv is zeros and this is a no-op
+        # (pure lagged-Newton relaxation).
+        fac = jnp.clip(1.0 + (dt / cfg.dim) * state.divv, 0.9, 1.1)
+        state = state._replace(h=state.h * fac)
+    state = derived_fn(state)
     vel = state.vel + half * state.acc
     u = jnp.maximum(state.u + half * state.du_dt, cfg.u_floor)
     state = state._replace(vel=vel, u=u)

@@ -207,6 +207,10 @@ def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
         raise NotImplementedError(
             "block timesteps + self-gravity: the PM/direct mesh stage is a "
             "global solve with no tile skipping to exploit — run global-dt")
+    if cfg.h_predict:
+        raise NotImplementedError(
+            "h_predict assumes every particle's divv/h advance each step; "
+            "rung ticks close subsets — run global-dt or h_predict=False")
     span_ticks = 1 << (n_rungs - 1)
     if span_ticks % rebuild_every:
         raise ValueError("rebuild_every must divide 2^(n_rungs-1)")

@@ -270,7 +270,10 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
-    iters = cfg.newton_iters if cfg.adaptive_h else 0
+    # h_predict: the h input is already the continuity-predicted value and
+    # the Newton correction happens (lagged) in stage_density — one walk
+    iters = (cfg.newton_iters if cfg.adaptive_h else 0) \
+        if not cfg.h_predict else 0
     eta_d = float(cfg.eta) ** dim
     hcap = 0.5 * float(spec.cutoff)
     fuse_bals = bool(cfg.need_divv) and vel_s is not None

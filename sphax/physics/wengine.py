@@ -281,7 +281,7 @@ def stage_density(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
             h_s, rho_s, drho_dh = pk.solve_h_density(wd, spec, pos_s,
                                                      mass_s, h_s, cfg)
     else:
-        if cfg.adaptive_h:
+        if cfg.adaptive_h and not cfg.h_predict:
             h_s = solve_h(wd, spec, pos_s, mass_s, h_s, cfg, tile_block)
         rho_s, drho_dh = density_pass(wd, spec, pos_s, mass_s, h_s, cfg.dim,
                                       tile_block)
@@ -307,6 +307,22 @@ def stage_density(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
     vf_s = pairs.visc_factor(cfg, bf=bf_s, alpha=alpha_s)
     if vf_s is None:
         vf_s = jnp.ones_like(rho_s)
+    if cfg.h_predict and cfg.adaptive_h:
+        # lagged Newton correction (the elementwise twin of kernel A's
+        # newton_update, same clamps): one update toward consistency from
+        # THIS walk's sums, applied to the h that is carried/used forward.
+        # rho/om/divv stay evaluated at the predicted h — the O(dh)
+        # inconsistency is the documented h_predict approximation.
+        m_safe = jnp.maximum(mass_s, 1e-30)
+        eta_d = float(cfg.eta) ** cfg.dim
+        hcap = 0.5 * float(spec.cutoff)
+        rho_c = jnp.maximum(rho_s, 1e-30)
+        rho_h = m_safe * eta_d / h_s ** cfg.dim
+        phi = rho_c - rho_h
+        dphi = drho_dh + cfg.dim * rho_h / h_s
+        dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
+        dh = jnp.clip(-phi / dphi, -0.5 * h_s, 0.5 * h_s)
+        h_s = jnp.minimum(h_s + dh, hcap)
     return h_s, rho_s, om_s, vf_s, divv_s
 
 
@@ -439,7 +455,16 @@ def derived_with(state: ParticleState, wd, cfg: SPHConfig, domain: Domain,
 def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
                    spec: WindowSpec, tile_block: int = 16,
                    use_pallas: bool = False) -> ParticleState:
-    """Window-engine analogue of dense/clist update_derived (same math)."""
+    """Window-engine analogue of dense/clist update_derived (same math).
+
+    Ignores cfg.h_predict: this is the cold-start/diagnostic entry, and the
+    predictor contract requires an already-converged h — so the one-shot
+    pass always runs the full Newton solve.
+    """
+    if cfg.h_predict:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, h_predict=False)
     wd = win.build(state.pos, domain, spec)
     return derived_with(state, wd, cfg, domain, spec, tile_block, use_pallas)
 
