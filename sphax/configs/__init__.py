@@ -98,6 +98,14 @@ class SPHConfig:
     # from the 1e-6 reference-parity suites like fast_math.
     h_predict: bool = False
 
+    def __post_init__(self):
+        if self.h_predict and not (self.adaptive_h and self.need_divv):
+            raise ValueError(
+                "cfg.h_predict requires adaptive_h=True (it replaces the "
+                "in-walk Newton solve) and need_divv (the continuity "
+                "predictor reads state.divv — enable balsara or mm_visc); "
+                "without them the predictor silently degrades")
+
     @property
     def support(self) -> float:
         return 2.0

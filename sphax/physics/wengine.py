@@ -270,6 +270,17 @@ def stage_density(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
     alpha(t), see pairs.visc_factor); ``divv`` the SPH div-v estimate (zeros
     unless cfg.need_divv).
     """
+    if cfg.h_predict and cfg.adaptive_h:
+        # the continuity predictor (leapfrog.step) multiplies h by up to 1.1
+        # AFTER the previous walk's clamp, so the incoming h can exceed the
+        # structural cap — and windows only cover neighbours to spec.cutoff,
+        # so walking at h > cutoff/2 silently truncates the sums for
+        # cap-pinned particles (round-3 advisor). Clamp BEFORE the walk, on
+        # both the Pallas and jnp paths — real rows only (trash/pad rows
+        # must pass through untouched; their h=1 fill only feeds their own
+        # discarded outputs).
+        h_s = jnp.where(mass_s > 0,
+                        jnp.minimum(h_s, 0.5 * spec.cutoff), h_s)
     if use_pallas:
         from sphax.physics import pallas_kernels as pk
 
@@ -322,7 +333,10 @@ def stage_density(wd, spec: WindowSpec, cfg: SPHConfig, pos_s, vel_s, mass_s,
         dphi = drho_dh + cfg.dim * rho_h / h_s
         dphi = jnp.where(jnp.abs(dphi) < 1e-30, -1e-30, dphi)
         dh = jnp.clip(-phi / dphi, -0.5 * h_s, 0.5 * h_s)
-        h_s = jnp.minimum(h_s + dh, hcap)
+        # real rows only: trash/pad rows (mass 0, rho floored) would be
+        # driven to h = 0.5, breaking the trash-rows-inert invariant the
+        # kernels maintain (round-3 advisor) — pass them through untouched
+        h_s = jnp.where(mass_s > 0, jnp.minimum(h_s + dh, hcap), h_s)
     return h_s, rho_s, om_s, vf_s, divv_s
 
 
