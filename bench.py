@@ -38,6 +38,9 @@ def main():
     h_margin = float(os.environ.get("BENCH_HMARGIN", 1.05))
     fast_sub = int(os.environ.get("BENCH_FAST_SUB", 3))
     rgroups = int(os.environ.get("BENCH_RGROUPS", 2))
+    # candidate compaction (round 4): walk build-time-compacted per-group
+    # candidate lists instead of the in-place sorted windows
+    compact = bool(int(os.environ.get("BENCH_COMPACT", 0)))
 
     ic = turbulence.build(n_side=n_side)
     # production settings: h warm-starts from the previous step (one Newton
@@ -55,10 +58,11 @@ def main():
     # dynamically representative: seeded velocity field
     st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
                                                  st.vel.shape, jnp.float32))
-    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * h_margin,
-                             dim=3, cutoff_scale=cutoff_scale,
-                             ghost_safety=1.4, fast_sub=fast_sub,
-                             rgroups=rgroups)
+    plan = win.plan_compact if compact else win.plan_measured
+    spec = plan(st.pos, dom, h_max=float(st.h.max()) * h_margin,
+                dim=3, cutoff_scale=cutoff_scale,
+                ghost_safety=1.4, fast_sub=fast_sub,
+                rgroups=rgroups)
     st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
 
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,

@@ -64,6 +64,23 @@ class WindowSpec:
     #                               candidate over-read (the margin rounds
     #                               to cutoff exactly instead of one full
     #                               cell each side)
+    cwidth: int = 0               # candidate-compaction width (rows per
+    #                               row-GROUP, multiple of 128; 0 = off).
+    #                               When set, build() additionally emits a
+    #                               per-group COMPACTED candidate row list
+    #                               (c_idx/c_n): the 3^(D-1) segment ranges,
+    #                               clipped against each other (they are
+    #                               monotone in the segment offset, so
+    #                               overlap is only the previous tail) and
+    #                               concatenated — no per-segment 128-lane
+    #                               quantum, no alignment slop, no
+    #                               duplicates. The Pallas kernels then walk
+    #                               a gathered [n_groups * cwidth] candidate
+    #                               buffer instead of the in-place sorted
+    #                               windows: ~5x fewer candidate rows per
+    #                               row at production occupancy for one
+    #                               extra XLA gather per kernel call
+    #                               (BASELINE.md round-4).
     rgroups: int = 1              # row-groups per tile: windows are computed
     #                               per GROUP of tile/rgroups consecutive
     #                               sorted rows instead of per tile, so each
@@ -203,8 +220,15 @@ class WindowData(NamedTuple):
               a subrange of it (t_lo is w_lo when rgroups == 1)
     t_nact:   [n_tiles, n_seg] active 128-blocks of the union window
     overflow: [] tiles*segments whose true UNION run exceeded wseg + dropped
-              ghosts
+              ghosts (+ groups whose compacted candidate count exceeded
+              cwidth when spec.cwidth > 0)
     max_run:  [] largest aligned union window length actually required
+    c_idx:    [n_groups, cwidth] compacted candidate sorted-row index per
+              row-group (spec.cwidth > 0 only; entries past c_n point at the
+              last sorted row and MUST be mass-zeroed at gather time —
+              gather_cands does)
+    c_n:      [n_groups] true compacted candidate count per group
+    c_max:    [] largest compacted candidate count (for plan_compact)
     """
 
     g: jax.Array
@@ -219,6 +243,9 @@ class WindowData(NamedTuple):
     t_nact: jax.Array
     overflow: jax.Array
     max_run: jax.Array
+    c_idx: jax.Array = None
+    c_n: jax.Array = None
+    c_max: jax.Array = None
 
 
 def _pack_offset(mask, orig_idx, cap, n):
@@ -450,10 +477,41 @@ def build(pos, domain: Domain, spec: WindowSpec, active=None,
     if R == 1:
         t_lo, t_nact = w_lo, w_nact
 
+    # ---- per-group candidate compaction (spec.cwidth > 0) ----
+    # The segment ranges [ws, we) are monotone non-decreasing across
+    # segments (the pencil deltas are strictly increasing and `first` is
+    # monotone), so the overlap of segment s with the union of earlier
+    # segments is exactly the previous running-max tail: clipping the start
+    # to cummax(we)[s-1] yields disjoint contiguous runs whose
+    # concatenation is the group's EXACT candidate set — no duplicates
+    # (the in-kernel first-occurrence mask becomes a no-op), no 128-lane
+    # alignment slop, no per-segment block quantum. Entries past c_n point
+    # at the last sorted row; gather_cands zero-masks their mass, so they
+    # contribute exactly nothing (every kernel output channel multiplies
+    # the candidate mass).
+    c_idx = c_n = c_max = None
+    if spec.cwidth > 0:
+        C = spec.cwidth
+        we_prev = jnp.concatenate(
+            [jnp.zeros((nt, 1), jnp.int32),
+             jax.lax.cummax(we_t, axis=1)[:, :-1]], axis=1)
+        cws = jnp.maximum(ws_t, we_prev)
+        clen = jnp.maximum(we_t - cws, 0)
+        off = jnp.cumsum(clen, axis=1) - clen          # exclusive prefix
+        c_n = (off[:, -1] + clen[:, -1]).astype(jnp.int32)
+        k = jnp.arange(C, dtype=jnp.int32)[None, :]
+        c_idx = jnp.full((nt, C), spec.n_sorted - 1, jnp.int32)
+        for s in range(n_seg):
+            o, l_ = off[:, s:s + 1], clen[:, s:s + 1]
+            m = (k >= o) & (k < o + l_)
+            c_idx = jnp.where(m, cws[:, s:s + 1] + (k - o), c_idx)
+        overflow = overflow + jnp.sum(c_n > C)
+        c_max = jnp.max(c_n)
+
     return WindowData(g=g, src=src, inv=inv_real[:n], is_real=is_real,
                       pos_s=pos_s, shift_s=shift_s, w_lo=w_lo, w_nact=w_nact,
                       t_lo=t_lo, t_nact=t_nact, overflow=overflow,
-                      max_run=max_run)
+                      max_run=max_run, c_idx=c_idx, c_n=c_n, c_max=c_max)
 
 
 def gather_sorted(field_orig, wd: WindowData, fill=0.0):
@@ -497,6 +555,40 @@ def refresh_pos(pos, wd: WindowData):
     """Recompute sorted extended positions for NEW particle positions using a
     stale structure (Verlet-skin cadence: valid while drift < skin/2)."""
     return gather_sorted(pos, wd) + wd.shift_s
+
+
+def gather_cands(cols_sorted, wd: WindowData, mass_col: int):
+    """Gather the compacted candidate buffer: [Ns, K] sorted-order fields ->
+    [n_groups * cwidth, K] candidate-major rows (ONE XLA row gather).
+
+    ``mass_col`` names the pair-weight column; it is zeroed on the padding
+    entries past each group's true count c_n, which makes them contribute
+    exactly nothing regardless of which sorted row the padding index points
+    at (every kernel output channel multiplies the candidate mass).
+    """
+    nG, C = wd.c_idx.shape
+    out = cols_sorted[wd.c_idx.reshape(-1)]
+    live = (jnp.arange(C, dtype=jnp.int32)[None, :]
+            < wd.c_n[:, None]).reshape(-1)
+    return out.at[:, mass_col].multiply(live.astype(out.dtype))
+
+
+def plan_compact(pos, domain: Domain, h_max: float, dim: int,
+                 headroom: float = 1.2, **kw) -> WindowSpec:
+    """plan_measured + measured candidate-compaction width.
+
+    Builds once at a tiny probe cwidth (c_max is the TRUE per-group
+    maximum count regardless of the probe width — it comes from the
+    clipped-run length sums, not the capped index table), then sizes
+    cwidth to it times ``headroom`` (rounded to 128). The overflow
+    counter catches later growth, exactly like wseg."""
+    import dataclasses as _dc
+
+    spec = plan_measured(pos, domain, h_max, dim, **kw)
+    probe = _dc.replace(spec, cwidth=128)
+    wd = jax.jit(build, static_argnums=2)(pos, domain, probe)
+    cw = int(np.ceil(int(wd.c_max) * headroom / 128.0) * 128)
+    return _dc.replace(spec, cwidth=max(cw, 128))
 
 
 def plan_measured(pos, domain: Domain, h_max: float, dim: int,

@@ -127,7 +127,7 @@ def _blk_keep(wt_ref, gof_ref, gn_ref, row, col0, s, b, dtype, blkw, nblk,
     return jnp.where(dup, jnp.zeros((), dtype), jnp.ones((), dtype))
 
 
-def _blocks(S):
+def _blocks(S, interp_blk=None):
     """Compute-block layout: blkw-wide predicated blocks on the Mosaic path
     (skip blocks outside the group's true candidate range); one full-width
     block in interpret mode, where per-op overhead dominates and a fori
@@ -135,12 +135,21 @@ def _blocks(S):
     activate a superset of the same candidate rows either way (inactive
     rows contribute zero).
 
+    ``interp_blk`` (compact candidate path only) overrides the interpret-
+    mode block width to exactly one group's cwidth slice: the compact
+    buffer holds each group's candidates as SEPARATE copies, so a whole-
+    union walk would double-count rows shared between groups — interp_blk
+    makes each group compute exactly its own slice (one block per group,
+    _grp_when selects b == group).
+
     SPHAX_BLKW (env, default 128) selects a wider compute block: fewer
     predicated regions (less Mosaic branch overhead — the measured cost
     that makes rgroups=4 lose to rgroups=2) at the price of rounding each
     group's active range outward to blkw. Falls back to 128 when the
     static wseg is not divisible."""
     if _interpret():
+        if interp_blk:
+            return S // interp_blk, interp_blk
         return 1, S
     blkw = int(os.environ.get("SPHAX_BLKW", 128))
     if blkw < 128 or S % blkw:
@@ -183,28 +192,83 @@ def _col(ref, T):
     return ref[:, :].reshape(T, 1)
 
 
+def _compact_view(wd: WindowData, spec: WindowSpec, win, mass_col: int):
+    """Degenerate-window view of the compacted candidate buffer.
+
+    The per-group compacted lists (WindowData.c_idx, built in XLA-land at
+    rebuild cadence — see window.build) are gathered into ONE candidate-
+    major packed buffer of M = n_tiles * rgroups * cwidth rows; the
+    existing kernels then consume it as a structure with a single segment
+    of S = rgroups * cwidth rows per tile, where group gg's active
+    sub-range is [gg * cwidth, gg * cwidth + ceil(c_n / 128) * 128). The
+    kernels' whole walk machinery (shared-union DMA, per-group block
+    predication, early-out) applies verbatim; the in-kernel first-
+    occurrence dedup is skipped (n_seg == 1 — compaction already clipped
+    duplicates) and the gather zero-masses the padding entries past c_n.
+
+    Returns (wd_view, spec_view, packed [Fp, 1, M]).
+    """
+    import dataclasses
+
+    from sphax.neighbors import window as winmod
+
+    C = spec.cwidth
+    R, Tg = _groups(spec)
+    nt = spec.n_tiles
+    nG = spec.n_groups
+    dtype = win[0].dtype
+    cols = jnp.stack(win, axis=-1)                     # [Ns, K]
+    gath = winmod.gather_cands(cols, wd, mass_col)     # [M, K]
+    Fp = -(-len(win) // 8) * 8
+    M = nG * C
+    packed = jnp.zeros((Fp, 1, M), dtype)
+    packed = packed.at[:len(win), 0, :].set(gath.T)
+
+    gn = jnp.clip(-(-wd.c_n // 128), 0, C // 128).astype(jnp.int32)
+    w_lo = (jnp.arange(nG, dtype=jnp.int32) * C)[:, None]      # [nG, 1]
+    t_lo = (jnp.arange(nt, dtype=jnp.int32) * (R * C))[:, None]
+    t_nact = jnp.max(gn.reshape(nt, R), axis=1)[:, None]
+    wd_view = wd._replace(w_lo=w_lo, w_nact=gn[:, None],
+                          t_lo=t_lo, t_nact=t_nact)
+    spec_view = dataclasses.replace(
+        spec, res=(spec.res[-1],), wseg=R * C,
+        n_sorted=spec.n_sorted)  # res -> dim 1 so n_seg == 1
+    return wd_view, spec_view, packed
+
+
 def _call(kernel, spec: WindowSpec, wd: WindowData, own, win, n_out, dtype,
-          extra_scratch=(), name="sphax_window_kernel", scalars=None):
+          extra_scratch=(), name="sphax_window_kernel", scalars=None,
+          packed_win=None):
     """``scalars`` (optional [k] array): traced per-call scalars (e.g. the
     P3M split scale) shipped to every program as one (1, k) SMEM row,
-    appearing as the ref right after the four window tables."""
+    appearing as the ref right after the four window tables.
+
+    ``packed_win`` (compact candidate path): a pre-gathered [Fp, 1, M]
+    window buffer replacing the in-place sorted-row windows; M = the total
+    compacted-buffer length (n_tiles * wseg with the degenerate one-segment
+    spec view) instead of n_sorted."""
     T, S, n_seg, nt, Ns = _prep(spec)
     R, Tg = _groups(spec)
     n_win = R * n_seg
     # VMEM guard: kernel A keeps ~n_seg*(Fp + Tg + 1)*S floats of scratch
     # resident; past S~1536 the 16 MB scoped-VMEM budget blows. (Interpret
     # mode on CPU has no such limit — the jnp fallback covers coarse-grid
-    # cases there.)
-    if S > 1536 and not _interpret():
+    # cases there.) The compact path (n_seg == 1) has no per-segment
+    # multiplier, so its budget is correspondingly wider.
+    if S > (4096 if n_seg == 1 else 1536) and not _interpret():
         raise ValueError(
             f"window segments of {S} rows exceed the Pallas VMEM budget; "
             "the grid is too coarse for the window engine at this N — use "
             "the dense or cell-list engine (or a smaller cutoff)")
     # pack window fields: [F_pad, 1, Ns] (F_pad multiple of 8 for the DMA
     # slice tiling); one strided DMA then ships a whole segment of all fields
-    Fp = -(-len(win) // 8) * 8
-    packed = jnp.zeros((Fp, 1, Ns), dtype)
-    packed = packed.at[:len(win), 0, :].set(jnp.stack(win))
+    if packed_win is not None:
+        Fp = packed_win.shape[0]
+        packed = packed_win
+    else:
+        Fp = -(-len(win) // 8) * 8
+        packed = jnp.zeros((Fp, 1, Ns), dtype)
+        packed = packed.at[:len(win), 0, :].set(jnp.stack(win))
     # tile tables [nt, n_seg]: shared DMA windows; group tables
     # [nt, R * n_seg] (group-major columns): each group's active 128-block
     # sub-range [off, off + gn) within its tile's shared window
@@ -264,19 +328,33 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
     a tile's true candidate range hold only provably-zero rows (non-adjacent
     cells or zero-mass padding), so skipping them changes nothing — and at
     typical occupancies roughly halves the pair math the static wseg forces.
+
+    When spec.cwidth > 0 the walk instead consumes the build-time COMPACTED
+    candidate buffer (_compact_view): one XLA gather per call replaces the
+    in-place sorted windows with near-pure true-neighbor rows — no
+    per-segment 128-lane quantum, no alignment slop, no duplicates.
     """
-    T, S, n_seg, nt, Ns = _prep(spec)
-    R, Tg = _groups(spec)
-    nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
+    fuse_bals = bool(cfg.need_divv) and vel_s is not None
+    own = [pos_s[:, d] for d in range(dim)] + [mass_s, h0_s]
+    win = [pos_s[:, d] for d in range(dim)] + [mass_s]
+    if fuse_bals:
+        own += [vel_s[:, d] for d in range(dim)]
+        win += [vel_s[:, d] for d in range(dim)]
+    packed_win = None
+    if spec.cwidth > 0 and wd.c_idx is not None:
+        wd, spec, packed_win = _compact_view(wd, spec, win, mass_col=dim)
+    T, S, n_seg, nt, Ns = _prep(spec)
+    R, Tg = _groups(spec)
+    nblk, blkw = _blocks(
+        S, interp_blk=(spec.cwidth if packed_win is not None else None))
     # h_predict: the h input is already the continuity-predicted value and
     # the Newton correction happens (lagged) in stage_density — one walk
     iters = (cfg.newton_iters if cfg.adaptive_h else 0) \
         if not cfg.h_predict else 0
     eta_d = float(cfg.eta) ** dim
     hcap = 0.5 * float(spec.cutoff)
-    fuse_bals = bool(cfg.need_divv) and vel_s is not None
     sig = float(K.sigma(dim))
     tiny = 1e-30 if dtype == jnp.float32 else 1e-300
     ncurl = {1: 0, 2: 1, 3: 3}[dim] if fuse_bals else 0
@@ -364,10 +442,13 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
                                     invr = jax.lax.rsqrt(r2 + tiny)
                                     r = r2 * invr
                                     rbuf[s, :, sl] = r
-                                    keep = _blk_keep(wt_ref, gof_ref, gn_ref,
-                                                     row, col0, s, b, dtype,
-                                                     blkw, nblk, S)
-                                    m_j = wbuf[s, dim, :, sl] * keep
+                                    m_j = wbuf[s, dim, :, sl]
+                                    if n_seg > 1:
+                                        # compact path (n_seg == 1) has no
+                                        # duplicates — dedup clipped at build
+                                        m_j = m_j * _blk_keep(
+                                            wt_ref, gof_ref, gn_ref, row,
+                                            col0, s, b, dtype, blkw, nblk, S)
                                     mbuf[s, :, sl] = m_j
                                 else:
                                     r = rbuf[s, :, sl]
@@ -465,17 +546,12 @@ def solve_h_density(wd: WindowData, spec: WindowSpec, pos_s, mass_s, h0_s,
             _body()
 
 
-    own = [pos_s[:, d] for d in range(dim)] + [mass_s, h0_s]
-    win = [pos_s[:, d] for d in range(dim)] + [mass_s]
-    if fuse_bals:
-        own += [vel_s[:, d] for d in range(dim)]
-        win += [vel_s[:, d] for d in range(dim)]
     rscratch = pltpu.VMEM((n_seg, Tg, S), dtype)
     mscratch = pltpu.VMEM((n_seg, 1, S), dtype)
     ascratch = pltpu.VMEM((n_acc, Tg, blkw), dtype)
     outs = _call(kernel, spec, wd, own, win, n_outs, dtype,
                  extra_scratch=[rscratch, mscratch, ascratch],
-                 name="sphax_h_density")
+                 name="sphax_h_density", packed_win=packed_win)
     return tuple(outs)
 
 
@@ -504,9 +580,6 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     4.5 r_s screen tail fits inside spec.cutoff by pm.rs_traced's clamp;
     pairs beyond it are hard-cut exactly as in the jnp pass.
     """
-    T, S, n_seg, nt, Ns = _prep(spec)
-    R, Tg = _groups(spec)
-    nblk, blkw = _blocks(S)
     dim = cfg.dim
     dtype = pos_s.dtype
     use_bf = bool(cfg.visc_factor_on)
@@ -534,6 +607,23 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
     n_scal_own = 5 + (1 if use_bf else 0)  # h, invh, rho, cs, ci (, bf)
     n_scal_win = 8 + (1 if use_bf else 0)  # m, h, invh, rho, cs, cj, gc1,
     #                                        gc2 (, bf)
+
+    own = ([pos_s[:, d] for d in range(dim)]
+           + [vel_s[:, d] for d in range(dim)]
+           + [h_s, invh_s, rho_s, cs_s, ci_s]
+           + ([bf_s] if use_bf else []))
+    win = ([pos_s[:, d] for d in range(dim)]
+           + [vel_s[:, d] for d in range(dim)]
+           + [mass_s, h_s, invh_s, rho_s, cs_s, ci_s, gc1_s, gc2_s]
+           + ([bf_s] if use_bf else []))
+    packed_win = None
+    if spec.cwidth > 0 and wd.c_idx is not None:
+        wd, spec, packed_win = _compact_view(wd, spec, win,
+                                             mass_col=2 * dim)
+    T, S, n_seg, nt, Ns = _prep(spec)
+    R, Tg = _groups(spec)
+    nblk, blkw = _blocks(
+        S, interp_blk=(spec.cwidth if packed_win is not None else None))
 
     def kernel(wt_ref, wn_ref, gof_ref, gn_ref, *refs):
         if grav is not None:
@@ -597,9 +687,12 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
                             w = iter(range(2 * dim + n_scal_win))
                             xj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
                             vj = [wbuf[s, next(w), :, sl] for _ in range(dim)]
-                            keep = _blk_keep(wt_ref, gof_ref, gn_ref, row,
-                                             col0, s, b, dtype, blkw, nblk, S)
-                            m_j = wbuf[s, next(w), :, sl] * keep
+                            m_j = wbuf[s, next(w), :, sl]
+                            if n_seg > 1:
+                                # compact path: dedup clipped at build time
+                                m_j = m_j * _blk_keep(
+                                    wt_ref, gof_ref, gn_ref, row, col0, s,
+                                    b, dtype, blkw, nblk, S)
                             h_j = wbuf[s, next(w), :, sl]
                             invh_j = wbuf[s, next(w), :, sl]
                             rho_j = wbuf[s, next(w), :, sl]
@@ -697,18 +790,10 @@ def forces(wd: WindowData, spec: WindowSpec, pos_s, vel_s, mass_s, h_s,
             _body()
 
 
-    own = ([pos_s[:, d] for d in range(dim)]
-           + [vel_s[:, d] for d in range(dim)]
-           + [h_s, invh_s, rho_s, cs_s, ci_s]
-           + ([bf_s] if use_bf else []))
-    win = ([pos_s[:, d] for d in range(dim)]
-           + [vel_s[:, d] for d in range(dim)]
-           + [mass_s, h_s, invh_s, rho_s, cs_s, ci_s, gc1_s, gc2_s]
-           + ([bf_s] if use_bf else []))
     ascratch = pltpu.VMEM((dim + 1, Tg, blkw), dtype)
     outs = _call(kernel, spec, wd, own, win, dim + 1, dtype,
                  extra_scratch=[ascratch], name="sphax_forces",
-                 scalars=scalars)
+                 scalars=scalars, packed_win=packed_win)
     acc = jnp.stack(outs[:dim], axis=-1)
     return acc, outs[dim]
 
