@@ -27,8 +27,7 @@ import numpy as np
 import pytest
 
 import sphax
-from sphax.diag import riemann
-from sphax.ics import sod, turbulence
+from sphax.ics import turbulence
 from sphax.integrate import rungs
 from sphax.neighbors import window as win
 from sphax.physics import wengine
@@ -78,41 +77,11 @@ def test_h_predict_lockstep_vs_full_newton():
     assert res < 5e-3, f"consistency residual {res}"
 
 
-@pytest.mark.slow
-def test_h_predict_sod_l1_not_degraded():
-    """Shock-accuracy gate: the predictor may not cost more than 15% of the
-    full-Newton L1(rho) error vs the exact Riemann solution. (slow tier:
-    two 64-step shock runs; the default tier keeps the lockstep/residual,
-    structural-cap, trash-row, and config gates.)"""
-    base = sphax.SPHConfig(dim=3, gamma=1.4, adaptive_h=True, balsara=True,
-                           newton_iters=6)
-    pred = dataclasses.replace(base, h_predict=True, newton_iters=1)
-    # transverse extent must fit >= 2 window cells: n_trans = 16 gives
-    # ly = 0.5 against cutoff = 2 * h_right * 1.25 * 1.1 ~ 0.22
-    ic = sod.build(nx_left=16, n_trans=16)
-    dom = sphax.box(jnp.zeros(3), jnp.asarray(ic["box"]))
-    st0 = sphax.make_state(*(jnp.asarray(ic[k]) for k in
-                             ("pos", "vel", "mass", "u", "h")))
-    spec = win.plan_measured(st0.pos, dom, h_max=float(st0.h.max()) * 1.25,
-                             dim=3, cutoff_scale=1.1)
-
-    def l1_of(cfg, nsteps=64):
-        st = wengine.update_derived(st0, cfg, dom, spec, use_pallas=False)
-        st, _, dts, ovf = wengine.simulate(st, cfg, dom, spec, nsteps,
-                                           rebuild_every=2, use_pallas=False)
-        assert int(ovf) == 0
-        t = float(jnp.sum(dts))
-        x = np.asarray(st.pos[:, 0])
-        rho = np.asarray(st.rho)
-        assert np.isfinite(rho).all()
-        sel = (x > 0.2) & (x < 0.85)
-        rho_exact, _, _ = riemann.sod_solution(x[sel], t)
-        return float(np.mean(np.abs(rho[sel] - rho_exact)))
-
-    l1_newton = l1_of(base)
-    l1_pred = l1_of(pred)
-    assert l1_newton < 0.06, l1_newton
-    assert l1_pred < 1.15 * l1_newton + 1e-4, (l1_pred, l1_newton)
+# NOTE: the Sod shock-accuracy gate (predictor L1 <= 1.15x full Newton vs
+# the exact Riemann solution) lives in tpu_tests/test_tpu_hpredict.py: the
+# Sod geometry forces a coarse window grid whose x64 interpret walk costs
+# ~1 h on this 1-core CPU box, while the fp32 Mosaic run — the path the
+# predictor actually ships on — takes seconds on the chip.
 
 
 def test_h_predict_walk_clamped_to_structural_cap():
