@@ -50,6 +50,7 @@ from sphax.neighbors import window as win
 from sphax.neighbors.window import WindowSpec
 from sphax.physics import wengine
 from sphax.physics.eos import eos
+from sphax.dist import wslab
 from sphax.dist.wslab import (_pack_select, _sel, equal_cuts, gather_real,
                               quantile_cuts)
 
@@ -59,7 +60,7 @@ AXES = (AX0, AX1)
 __all__ = ["PencilSpec", "make_mesh", "plan", "equal_cuts", "distribute",
            "gather_real", "make_step", "make_chunk", "make_migrate",
            "make_misplaced", "make_histograms", "rebalance", "make_max_run",
-           "refine_wseg"]
+           "refine_wseg", "make_diagnostics"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -834,6 +835,21 @@ def rebalance(hist0: np.ndarray, hist1: np.ndarray, spec: PencilSpec):
     cuts1 = quantile_cuts(hist1, spec.ns1, spec.margin_cells1,
                           spec.res_max1)
     return cuts0, cuts1
+
+
+def make_diagnostics(mesh: Mesh, spec: PencilSpec, cfg: SPHConfig):
+    """Jitted psum'd conservation/flow diagnostics over the 2D mesh — the
+    pencil twin of wslab.make_diagnostics (same record, reductions ride
+    both mesh axes)."""
+    del spec, cfg
+
+    def local_diag(st: ParticleState, domain: Domain):
+        del domain
+        return wslab.diag_local(st, AXES)
+
+    sm = jax.shard_map(local_diag, mesh=mesh,
+                       in_specs=(P((AX0, AX1)), P()), out_specs=P())
+    return wslab.diag_host(jax.jit(sm))
 
 
 def make_max_run(mesh: Mesh, spec: PencilSpec):

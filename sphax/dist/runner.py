@@ -33,7 +33,7 @@ import numpy as np
 
 from sphax.configs import SPHConfig
 from sphax.core.state import Domain, ParticleState
-from sphax.dist import wslab
+from sphax.dist import pencil, wslab
 
 
 class SlabRun:
@@ -127,3 +127,105 @@ class SlabRun:
     def gather(self) -> ParticleState:
         """Host copy of the real rows (checkpoint / diagnostics cadence)."""
         return wslab.gather_real(self.state)
+
+
+class PencilRun:
+    """One distributed simulation over a 2D ``ns0 x ns1`` pencil mesh — the
+    SlabRun twin for the >64-chip regime where 1D slabs go thinner than the
+    ghost margin (dist/pencil.py; SURVEY.md §3.2 L7). Same loop shape:
+    chunked jitted steps, per-axis migration to convergence, independent
+    per-axis quantile-cut rebalancing from psum'd marginal histograms."""
+
+    def __init__(self, state: ParticleState, cfg: SPHConfig, domain: Domain,
+                 ns0: int, ns1: int, chunk_steps: int = 8,
+                 rebuild_every: int = 2, drive=None, drive_spec=None,
+                 h_margin: float = 1.1, rebalance_every: int = 1,
+                 **plan_kw):
+        if chunk_steps % rebuild_every:
+            chunk_steps += rebuild_every - chunk_steps % rebuild_every
+        self.cfg, self.domain = cfg, domain
+        self.ns0, self.ns1 = ns0, ns1
+        self.n_shards = ns0 * ns1
+        self.chunk_steps = chunk_steps
+        self.rebalance_every = rebalance_every
+        self.drive, self.drive_spec = drive, drive_spec
+        self._nchunks = 0
+
+        self.mesh = pencil.make_mesh(ns0, ns1)
+        if jax.default_backend() != "cpu":
+            plan_kw.setdefault("fast_sub", 3)
+            plan_kw.setdefault("rgroups", 2)
+        spec = pencil.plan(domain, state.n,
+                           h_max=float(state.h.max()) * h_margin,
+                           ns0=ns0, ns1=ns1, **plan_kw)
+        cuts0 = pencil.equal_cuts(spec.ncell0, ns0)
+        cuts1 = pencil.equal_cuts(spec.ncell1, ns1)
+        self.state = pencil.distribute(state, domain, self.mesh, spec,
+                                       cuts0, cuts1)
+        self.cuts0, self.cuts1 = jnp.asarray(cuts0), jnp.asarray(cuts1)
+        mr, gdrop = pencil.make_max_run(self.mesh, spec)(
+            self.state, self.cuts0, self.cuts1, domain)
+        if int(gdrop):
+            raise RuntimeError(
+                f"{int(gdrop)} ghosts dropped at setup; re-plan with a "
+                "larger ghost_safety")
+        self.spec = pencil.refine_wseg(spec, int(mr))
+        self._chunk = pencil.make_chunk(self.mesh, cfg, self.spec,
+                                        chunk_steps,
+                                        rebuild_every=rebuild_every,
+                                        drive_spec=drive_spec)
+        self._migrate = pencil.make_migrate(self.mesh, self.spec)
+        self._misplaced = pencil.make_misplaced(self.mesh, self.spec)
+        self._hist = pencil.make_histograms(self.mesh, self.spec)
+        self._diag = pencil.make_diagnostics(self.mesh, self.spec, cfg)
+
+    def run_chunk(self) -> np.ndarray:
+        """Advance ``chunk_steps`` steps; migrate to convergence; rebalance
+        at cadence. Raises on any nonzero health counter."""
+        if self.drive_spec is not None:
+            self.state, self.drive, dts, health = self._chunk(
+                self.state, self.cuts0, self.cuts1, self.domain, self.drive)
+        else:
+            self.state, dts, health = self._chunk(
+                self.state, self.cuts0, self.cuts1, self.domain)
+        if int(health[0]):
+            raise RuntimeError(f"{int(health[0])} ghosts dropped in chunk; "
+                               "re-plan with larger ghost capacity")
+        if int(health[1]):
+            raise RuntimeError(
+                f"structure overflow ({int(health[1])}: window segments "
+                "or P3M mesh-fallback capacity); re-plan with larger "
+                "wseg/ghost/mesh-fallback capacities")
+        self._nchunks += 1
+        if self.rebalance_every and \
+                self._nchunks % self.rebalance_every == 0:
+            h0, h1 = self._hist(self.state, self.domain)
+            c0, c1 = pencil.rebalance(np.asarray(h0), np.asarray(h1),
+                                      self.spec)
+            self.cuts0, self.cuts1 = jnp.asarray(c0), jnp.asarray(c1)
+        self._migrate_to_convergence()
+        return np.asarray(dts)
+
+    def _migrate_to_convergence(self):
+        # one x-hop + one y-hop per call: (kx, ky) pencils from home needs
+        # max(kx, ky) calls
+        for _ in range(max(self.ns0, self.ns1)):
+            self.state, dropped = self._migrate(self.state, self.cuts0,
+                                                self.cuts1, self.domain)
+            if int(dropped):
+                raise RuntimeError(
+                    f"migration dropped {int(dropped)} particles; "
+                    "re-plan with a larger migrate_frac")
+            if int(self._misplaced(self.state, self.cuts0, self.cuts1,
+                                   self.domain)) == 0:
+                return
+        raise RuntimeError("migration did not converge within "
+                           "max(ns0, ns1) hops")
+
+    def metrics(self, t: float) -> dict:
+        """psum'd conservation/flow record (no particle arrays to host)."""
+        return self._diag(self.state, self.domain, t)
+
+    def gather(self) -> ParticleState:
+        """Host copy of the real rows (checkpoint / diagnostics cadence)."""
+        return pencil.gather_real(self.state)

@@ -894,43 +894,34 @@ def make_histogram(mesh: Mesh, spec: WSlabSpec):
     return jax.jit(sm)
 
 
-def make_diagnostics(mesh: Mesh, spec: WSlabSpec, cfg: SPHConfig):
-    """Jitted psum'd conservation/flow diagnostics over the sharded state.
+def diag_local(st: ParticleState, axes):
+    """Per-shard conservation/flow sums, reduced over mesh ``axes``
+    (shared by the wslab and pencil make_diagnostics)."""
+    real = st.mass > 0
+    v2 = jnp.sum(st.vel ** 2, axis=-1)
+    psum = lambda v: jax.lax.psum(v, axes)
+    pmax = lambda v: jax.lax.pmax(v, axes)
+    n_real = psum(jnp.sum(real.astype(jnp.int32)))
+    nf = jnp.maximum(n_real.astype(st.pos.dtype), 1)
+    big = jnp.asarray(jnp.finfo(st.pos.dtype).max, st.pos.dtype)
+    mom = psum(jnp.sum(st.mass[:, None] * st.vel, axis=0))
+    return {
+        "n_real": n_real,
+        "e_kin": psum(0.5 * jnp.sum(st.mass * v2)),
+        "e_int": psum(jnp.sum(st.mass * st.u)),
+        "mom": mom,
+        "max_v": pmax(jnp.max(jnp.where(real, jnp.sqrt(v2), 0.0))),
+        "max_rho": pmax(jnp.max(jnp.where(real, st.rho, 0.0))),
+        "min_rho": -pmax(jnp.max(jnp.where(real, -st.rho, -big))),
+        "mean_h": psum(jnp.sum(jnp.where(real, st.h, 0.0))) / nf,
+        "mach2_sum": psum(jnp.sum(jnp.where(
+            real, v2 / jnp.maximum(st.cs, 1e-30) ** 2, 0.0))),
+    }
 
-    Returns the distributed analogue of diag/conservation.summary as a dict
-    of REPLICATED scalars — only O(1) numbers ever reach the host, never a
-    particle array (SURVEY.md §5 observability; C17 global reductions).
-    Padding rows are excluded by the mass > 0 mask. Gravitational energy is
-    omitted (the O(N^2) summary term; production gravity runs log e_kin /
-    e_int and audit e_grav offline from snapshots).
-    """
 
-    def local_diag(st: ParticleState, domain: Domain):
-        real = st.mass > 0
-        v2 = jnp.sum(st.vel ** 2, axis=-1)
-        psum = lambda v: jax.lax.psum(v, AXIS)
-        pmax = lambda v: jax.lax.pmax(v, AXIS)
-        n_real = psum(jnp.sum(real.astype(jnp.int32)))
-        nf = jnp.maximum(n_real.astype(st.pos.dtype), 1)
-        big = jnp.asarray(jnp.finfo(st.pos.dtype).max, st.pos.dtype)
-        mom = psum(jnp.sum(st.mass[:, None] * st.vel, axis=0))
-        rec = {
-            "n_real": n_real,
-            "e_kin": psum(0.5 * jnp.sum(st.mass * v2)),
-            "e_int": psum(jnp.sum(st.mass * st.u)),
-            "mom": mom,
-            "max_v": pmax(jnp.max(jnp.where(real, jnp.sqrt(v2), 0.0))),
-            "max_rho": pmax(jnp.max(jnp.where(real, st.rho, 0.0))),
-            "min_rho": -pmax(jnp.max(jnp.where(real, -st.rho, -big))),
-            "mean_h": psum(jnp.sum(jnp.where(real, st.h, 0.0))) / nf,
-            "mach2_sum": psum(jnp.sum(jnp.where(
-                real, v2 / jnp.maximum(st.cs, 1e-30) ** 2, 0.0))),
-        }
-        return rec
-
-    sm = jax.shard_map(local_diag, mesh=mesh, in_specs=(P(AXIS), P()),
-                       out_specs=P())
-    jitted = jax.jit(sm)
+def diag_host(jitted):
+    """Host-side record assembly around a jitted diag_local shard_map
+    (shared by the wslab and pencil make_diagnostics)."""
 
     def diag(st: ParticleState, domain: Domain, t: float) -> dict:
         r = {k: np.asarray(v) for k, v in jitted(st, domain).items()}
@@ -949,6 +940,26 @@ def make_diagnostics(mesh: Mesh, spec: WSlabSpec, cfg: SPHConfig):
         return rec
 
     return diag
+
+
+def make_diagnostics(mesh: Mesh, spec: WSlabSpec, cfg: SPHConfig):
+    """Jitted psum'd conservation/flow diagnostics over the sharded state.
+
+    Returns the distributed analogue of diag/conservation.summary as a dict
+    of REPLICATED scalars — only O(1) numbers ever reach the host, never a
+    particle array (SURVEY.md §5 observability; C17 global reductions).
+    Padding rows are excluded by the mass > 0 mask. Gravitational energy is
+    omitted (the O(N^2) summary term; production gravity runs log e_kin /
+    e_int and audit e_grav offline from snapshots).
+    """
+
+    def local_diag(st: ParticleState, domain: Domain):
+        del domain
+        return diag_local(st, AXIS)
+
+    sm = jax.shard_map(local_diag, mesh=mesh, in_specs=(P(AXIS), P()),
+                       out_specs=P())
+    return diag_host(jax.jit(sm))
 
 
 def make_max_run(mesh: Mesh, spec: WSlabSpec):
