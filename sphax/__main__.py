@@ -79,7 +79,7 @@ def main(argv=None):
     if n_dev > 1:
         return _main_dist(name, prob, state, drive, t, step, t_end, out,
                           shards, chunk, rebuild_every, metrics_every,
-                          snapshot_every, checkpoint_every, log)
+                          snapshot_every, checkpoint_every, log, n_rungs)
 
     if n_rungs > 1:
         if prob.wspec is None or prob.cfg.gravity or \
@@ -214,7 +214,7 @@ def main(argv=None):
 
 def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
                chunk, rebuild_every, metrics_every, snapshot_every,
-               checkpoint_every, log):
+               checkpoint_every, log, n_rungs=1):
     """Distributed production loop (SURVEY.md §3.2 ``dist.shard(...)``):
     ``shards=N`` drives the wslab slab decomposition, ``shards=AxB`` the 2D
     pencil decomposition, over an N- (A*B-) device mesh; chunked jitted
@@ -237,17 +237,22 @@ def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
 
     dr = drive if prob.drive_spec is not None else None
     if is_pencil:
+        if n_rungs > 1:
+            raise SystemExit("rungs>1 is wired for shards=N (wslab); the "
+                             "pencil twin is not implemented — use 1D slabs")
         run = PencilRun(state, prob.cfg, prob.domain, shards[0], shards[1],
                         chunk_steps=chunk, rebuild_every=rebuild_every,
                         drive=dr, drive_spec=prob.drive_spec)
     else:
         run = SlabRun(state, prob.cfg, prob.domain, shards,
                       chunk_steps=chunk, rebuild_every=rebuild_every,
-                      drive=dr, drive_spec=prob.drive_spec)
+                      drive=dr, drive_spec=prob.drive_spec,
+                      n_rungs=n_rungs)
 
     def save_ckpt():
         checkpoint.save(os.path.join(out, "checkpoint.npz"), run.gather(),
-                        t, step, (prob.drive_spec is not None) and run.drive,
+                        t, step,
+                        run.drive if prob.drive_spec is not None else None,
                         extra={"shards": shard_str})
 
     nchunks = 0
@@ -257,11 +262,16 @@ def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
         step += len(dts)
         nchunks += 1
         if nchunks % metrics_every == 0:
-            rec = log.log_record(run.metrics(t), step, state.n)
+            extra = ({"dt_viol": run.last_dt_viol,
+                      "active_frac": run.last_active_frac}
+                     if n_rungs > 1 else {})
+            rec = log.log_record(run.metrics(t), step, state.n, **extra)
+            rmsg = (f" active_frac={run.last_active_frac:.2f}"
+                    f" dt_viol={run.last_dt_viol}" if n_rungs > 1 else "")
             print(f"  t={t:.4f} step={step} "
                   f"pss={rec['particle_steps_per_sec']:.3e} "
                   f"E={rec['e_total']:.5f} mach={rec['mach_rms']:.2f} "
-                  f"[{shard_str} shards]")
+                  f"[{shard_str} shards]" + rmsg)
             if not rec["finite"]:
                 bad = checkpoint.verify_integrity(run.gather())
                 raise RuntimeError(f"state corrupt at step {step}: {bad}")

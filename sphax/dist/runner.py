@@ -42,7 +42,18 @@ class SlabRun:
     def __init__(self, state: ParticleState, cfg: SPHConfig, domain: Domain,
                  n_shards: int, chunk_steps: int = 8, rebuild_every: int = 2,
                  drive=None, drive_spec=None, h_margin: float = 1.1,
-                 rebalance_every: int = 1, **plan_kw):
+                 rebalance_every: int = 1, n_rungs: int = 1, **plan_kw):
+        if n_rungs > 1:
+            # distributed block timesteps (dist/wrungs.py): chunks are
+            # whole spans of 2^{B-1} globally-synchronized base ticks
+            if drive_spec is not None or cfg.gravity:
+                raise NotImplementedError(
+                    "rungs>1 needs the window engine without self-gravity "
+                    "or OU driving (see integrate/rungs.py scope)")
+            span = 1 << (n_rungs - 1)
+            if span % rebuild_every:
+                rebuild_every = 1
+            chunk_steps = max(1, -(-chunk_steps // span)) * span
         if chunk_steps % rebuild_every:
             chunk_steps += rebuild_every - chunk_steps % rebuild_every
         self.cfg, self.domain = cfg, domain
@@ -50,6 +61,10 @@ class SlabRun:
         self.chunk_steps = chunk_steps
         self.rebalance_every = rebalance_every
         self.drive, self.drive_spec = drive, drive_spec
+        self.n_rungs = n_rungs
+        self.last_active_frac = 1.0
+        self.last_dt_viol = 0
+        self._n_real = state.n          # pre-distribute: all rows real
         self._nchunks = 0
 
         self.mesh = wslab.make_mesh(n_shards)
@@ -72,10 +87,18 @@ class SlabRun:
                 f"{int(gdrop)} ghosts dropped at setup; re-plan with a "
                 "larger ghost_safety")
         self.spec = wslab.refine_wseg(spec, int(mr))
-        self._chunk = wslab.make_chunk(self.mesh, cfg, self.spec,
-                                       chunk_steps,
-                                       rebuild_every=rebuild_every,
-                                       drive_spec=drive_spec)
+        if n_rungs > 1:
+            from sphax.dist import wrungs
+
+            self._chunk = wrungs.make_chunk_rungs(
+                self.mesh, cfg, self.spec,
+                nspans=chunk_steps // (1 << (n_rungs - 1)),
+                n_rungs=n_rungs, rebuild_every=rebuild_every)
+        else:
+            self._chunk = wslab.make_chunk(self.mesh, cfg, self.spec,
+                                           chunk_steps,
+                                           rebuild_every=rebuild_every,
+                                           drive_spec=drive_spec)
         self._migrate = wslab.make_migrate(self.mesh, self.spec)
         self._misplaced = wslab.make_misplaced(self.mesh, self.spec)
         self._hist = wslab.make_histogram(self.mesh, self.spec)
@@ -85,7 +108,19 @@ class SlabRun:
         """Advance ``chunk_steps`` steps; migrate to convergence; rebalance
         at cadence. Returns the dt sequence. Raises on any nonzero health
         counter (silent pair deletion is never tolerated)."""
-        if self.drive_spec is not None:
+        if self.n_rungs > 1:
+            self.state, dts, nacts, health, viol = self._chunk(
+                self.state, self.cuts, self.domain)
+            nacts = np.asarray(nacts)
+            tot = int(nacts.sum())
+            self.last_active_frac = tot / (self._n_real * len(nacts))
+            self.last_dt_viol = int(viol)
+            if self.last_dt_viol > 0.25 * max(tot, 1):
+                raise RuntimeError(
+                    f"{self.last_dt_viol} dt-violating closings in a chunk "
+                    f"of {tot} active closings (> 25%); the rung span "
+                    "outruns the CFL condition — use fewer rungs")
+        elif self.drive_spec is not None:
             self.state, self.drive, dts, health = self._chunk(
                 self.state, self.cuts, self.domain, self.drive)
         else:

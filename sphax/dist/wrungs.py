@@ -1,0 +1,301 @@
+r"""Distributed block (individual) timesteps over the wslab decomposition.
+
+The single-chip rung integrator (integrate/rungs.py: Hernquist–Katz
+power-of-two rungs whose win is SKIPPING whole tiles of the sorted
+pencil-window structure) composes with the slab decomposition
+(dist/wslab.py) because the two mechanisms live at different levels:
+
+* the TICK SCHEDULE is global — ``dt_min`` is a ``pmin`` over shards at
+  each span sync, so every shard agrees which base ticks exist and a
+  particle's rung membership ("closes at tick k") is a pure function of
+  its own dt regardless of where it lives;
+* the ACTIVITY MASKING is per-shard — each shard masks its OWN sorted
+  structure to the tiles holding its closing LOCAL rows
+  (``rungs.mask_structure`` on the per-shard tables). Ghost rows are
+  never active as i-rows: their fresh values are computed by their owner
+  shard (which closes them on the same globally-aligned tick) and arrive
+  through the standard phase-2 hydro exchange, which here ships
+  CURRENT-BEST values (fresh where the owner closed this tick, stale
+  otherwise) instead of always-fresh ones. That single change makes the
+  whole two-phase ghost protocol of ``wslab._local_derived`` carry the
+  GADGET-class stale-neighbor approximation across shard boundaries with
+  zero extra communication.
+
+The expected cost is RUNG IMBALANCE: wall-clock per tick is the max over
+shards of the per-shard active-tile walk, so a blast confined to one slab
+concentrates every low-rung tile there and the quiet shards wait (the
+per-tick fixed work — exchanges, gathers, drift — never skips). The
+measured number on the 1x8 Sedov split is recorded in BASELINE.md; the
+decision gate is tests/dist/test_rungs_dist.py (lockstep vs single-chip
+rungs) and benchmarks/bench_rungs.py --dist (speedup vs distributed
+global-dt).
+
+Scope matches integrate/rungs.py: window engine, no self-gravity, no OU
+driving, ``h_predict`` off.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sphax.configs import SPHConfig
+from sphax.core.state import Domain, ParticleState
+from sphax.dist import wslab
+from sphax.dist.wslab import (AXIS, WSlabSpec, _exchange, _exchange_and_build,
+                              _perms, _ship_kinematics, _wrap_transverse)
+from sphax.integrate.rungs import mask_structure
+from sphax.integrate.timestep import particle_dt
+from sphax.neighbors import window as win
+from sphax.physics import wengine
+from sphax.physics.eos import eos
+
+__all__ = ["make_chunk_rungs"]
+
+
+def _local_derived_rungs(st: ParticleState, bf_prev, wd, routes, slab_lo,
+                         cfg: SPHConfig, domain: Domain, spec: WSlabSpec,
+                         close_m, tile_block: int, use_pallas: bool):
+    """One-shard rung derived pass: kernels A/C on the activity-masked
+    structure, phase-2 ships current-best hydro (the ``wslab._local_derived``
+    body with the three ``rungs._derived_rungs`` changes; see module
+    docstring). ``close_m`` [nl] bool must already exclude padding rows.
+
+    Returns (state', bf_now): outputs selected fresh-on-closers /
+    stale-otherwise; ``bf_now`` [nl] is the current-best viscosity factor.
+    """
+    G = spec.ghost_cap
+    nl = st.n
+    dim = st.dim
+    dtype = st.pos.dtype
+    wspec = spec.wspec
+    comb_pos, comb_vel, comb_mass = _ship_kinematics(st, routes, slab_lo,
+                                                     domain, spec)
+    comb_u = jnp.concatenate([st.u, jnp.zeros((2 * G,), dtype)])
+    comb_h = jnp.concatenate([st.h, jnp.ones((2 * G,), dtype)])
+    # activity flag rides the packed gather; ghost rows are inactive by
+    # construction (their owners close them on the same global tick)
+    comb_flag = jnp.concatenate([close_m.astype(dtype),
+                                 jnp.zeros((2 * G,), dtype)])
+    cols = [comb_flag[:, None], comb_pos, comb_vel, comb_mass[:, None],
+            comb_u[:, None], comb_h[:, None]]
+    fills = [0.0] + [0.0] * (2 * dim) + [0.0, 0.0, 1.0]
+    if cfg.mm_visc:
+        cols.append(jnp.concatenate([st.alpha,
+                                     jnp.ones((2 * G,), dtype)])[:, None])
+        fills.append(1.0)
+    g_s = win.gather_sorted_cols(jnp.concatenate(cols, axis=-1), wd, fills)
+    act_s = g_s[:, 0] > 0.5
+    wd_act = mask_structure(wd, wspec, act_s)
+    pos_s = g_s[:, 1:1 + dim] + wd.shift_s
+    vel_s = g_s[:, 1 + dim:1 + 2 * dim]
+    c0 = 1 + 2 * dim
+    mass_s, u_s = g_s[:, c0], g_s[:, c0 + 1]
+    h_s = jnp.where(mass_s > 0, g_s[:, c0 + 2], 1.0)
+    alpha_s = g_s[:, c0 + 3] if cfg.mm_visc else None
+
+    # ---- kernel A on closing-local tiles only ----
+    h_f, rho_f, om_f, bf_f, divv_f = wengine.stage_density(
+        wd_act, wspec, cfg, pos_s, vel_s, mass_s, u_s, h_s, tile_block,
+        use_pallas, alpha_s=alpha_s)
+    fresh = jnp.stack([h_f, rho_f, om_f, bf_f, divv_f],
+                      axis=-1)[wd.inv][:nl]                       # [nl, 5]
+
+    # current-best LOCAL hydro: fresh where this row closed, stale otherwise
+    cm = close_m
+    h_cb = jnp.where(cm, fresh[:, 0], st.h)
+    rho_cb = jnp.where(cm, fresh[:, 1], st.rho)
+    om_cb = jnp.where(cm, fresh[:, 2], st.omega)
+    bf_cb = jnp.where(cm, fresh[:, 3], bf_prev)
+    divv_cb = jnp.where(cm, fresh[:, 4], st.divv)
+    # predicted-u EOS on the current-best rho — for every row, exactly as
+    # the single-chip pass recomputes P/cs from (stale rho, predicted u)
+    P_cb, cs_cb = eos(rho_cb, st.u, cfg)
+
+    # ---- phase 2: CURRENT-BEST owner hydro for the boundary sets ----
+    loc_hyd = jnp.stack([h_cb, rho_cb, P_cb, cs_cb, om_cb, bf_cb],
+                        axis=-1)                                  # [nl, 6]
+    fills2 = (1.0, 1.0, 0.0, 0.0, 1.0, 0.0)
+    perm_left, perm_right = _perms(spec.n_shards)
+    gR2 = _exchange(loc_hyd, fills2, routes[0], perm_left)
+    gL2 = _exchange(loc_hyd, fills2, routes[1], perm_right)
+    hyd = jnp.concatenate([loc_hyd, gL2, gR2], axis=0)
+    hyd_s = win.gather_sorted(hyd, wd)
+    h_s2 = jnp.where(mass_s > 0, hyd_s[:, 0], 1.0)
+    rho_s2 = jnp.maximum(hyd_s[:, 1], 1e-15)
+    om_s2 = jnp.where(mass_s > 0, hyd_s[:, 4], 1.0)
+
+    # ---- kernel C on the same masked structure ----
+    acc_s, du_s = wengine.stage_forces(
+        wd_act, wspec, cfg, pos_s, vel_s, mass_s, h_s2, rho_s2, hyd_s[:, 2],
+        hyd_s[:, 3], om_s2, hyd_s[:, 5], tile_block, use_pallas)
+    out = jnp.stack([du_s] + [acc_s[:, d] for d in range(dim)],
+                    axis=-1)[wd.inv][:nl]                         # [nl, 1+D]
+    return st._replace(
+        h=h_cb, rho=rho_cb, P=P_cb, cs=cs_cb, omega=om_cb,
+        du_dt=jnp.where(cm, out[:, 0], st.du_dt),
+        acc=jnp.where(cm[:, None], out[:, 1:1 + dim], st.acc),
+        divv=divv_cb), bf_cb
+
+
+def _visc_factor_seed(st: ParticleState, cuts, domain: Domain,
+                      spec: WSlabSpec, cfg: SPHConfig, tile_block: int,
+                      use_pallas: bool):
+    """One full (unmasked) kernel-A pass to seed the stale viscosity-factor
+    carry — the distributed twin of rungs._visc_factor_full."""
+    if not cfg.visc_factor_on:
+        return jnp.ones_like(st.h)
+    G = spec.ghost_cap
+    dim = st.dim
+    dtype = st.pos.dtype
+    wd, routes, slab_lo, _ = _exchange_and_build(st, cuts, domain, spec)
+    comb_pos, comb_vel, comb_mass = _ship_kinematics(st, routes, slab_lo,
+                                                     domain, spec)
+    cols = [comb_pos, comb_vel, comb_mass[:, None],
+            jnp.concatenate([st.u, jnp.zeros((2 * G,), dtype)])[:, None],
+            jnp.concatenate([st.h, jnp.ones((2 * G,), dtype)])[:, None]]
+    fills = [0.0] * (2 * dim) + [0.0, 0.0, 1.0]
+    if cfg.mm_visc:
+        cols.append(jnp.concatenate([st.alpha,
+                                     jnp.ones((2 * G,), dtype)])[:, None])
+        fills.append(1.0)
+    g_s = win.gather_sorted_cols(jnp.concatenate(cols, axis=-1), wd, fills)
+    pos_s = g_s[:, :dim] + wd.shift_s
+    mass_s = g_s[:, 2 * dim]
+    h_s = jnp.where(mass_s > 0, g_s[:, 2 * dim + 2], 1.0)
+    _, _, _, bf_s, _ = wengine.stage_density(
+        wd, spec.wspec, cfg, pos_s, g_s[:, dim:2 * dim], mass_s,
+        g_s[:, 2 * dim + 1], h_s, tile_block, use_pallas,
+        alpha_s=(g_s[:, 2 * dim + 3] if cfg.mm_visc else None))
+    return bf_s[wd.inv][:st.n]
+
+
+def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
+                     nspans: int, n_rungs: int = 4, rebuild_every: int = 2,
+                     use_pallas: Optional[bool] = None, tile_block: int = 16):
+    """Jitted distributed block-timestep chunk: ``nspans`` spans of
+    2^{n_rungs-1} globally-synchronized base ticks (see module docstring;
+    same KDK/rung discipline as ``rungs.simulate_rungs``, same
+    structure-reuse/health contract as ``wslab.make_chunk``).
+
+    Returns (state, cuts, domain) -> (state, dts, nacts, health, dt_viol):
+      dts     [nspans * 2^{B-1}]  pmin'd base dt of every tick
+      nacts   [same]              psum'd closing-particle count per tick
+      health  (ghost_dropped, structure_overflow) psum'd maxima
+      dt_viol psum'd mid-span closings that wanted dt < dt_min
+    """
+    if cfg.gravity:
+        raise NotImplementedError(
+            "block timesteps + self-gravity: the PM/direct mesh stage is a "
+            "global solve with no tile skipping to exploit — run global-dt")
+    if cfg.h_predict:
+        raise NotImplementedError(
+            "h_predict assumes every particle's divv/h advance each step; "
+            "rung ticks close subsets — run global-dt or h_predict=False")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    span_ticks = 1 << (n_rungs - 1)
+    if span_ticks % rebuild_every:
+        raise ValueError("rebuild_every must divide 2^(n_rungs-1)")
+
+    def local_chunk(st: ParticleState, cuts, domain: Domain):
+        dtype = st.pos.dtype
+        real = st.mass > 0
+        bf0 = _visc_factor_seed(st, cuts, domain, spec, cfg, tile_block,
+                                use_pallas)
+
+        def span(carry, _):
+            st, bf_prev, hmax = carry
+            # span sync: every (real) particle closed on the previous tick;
+            # padding rows are pinned to dt_max (>= any clamped real dt) so
+            # they live on the top rung and the pmin ignores them
+            dt_des0 = jnp.where(real, particle_dt(st, cfg), cfg.dt_max)
+            dt_min = jax.lax.pmin(jnp.min(dt_des0), AXIS)
+            rung0 = jnp.clip(
+                jnp.floor(jnp.log2(jnp.maximum(dt_des0 / dt_min, 1.0))),
+                0, n_rungs - 1).astype(jnp.int32)
+
+            def tick(carry_t, k):
+                st, bf_prev, rung, wd, routes, slab_lo = carry_t
+                dt_r = dt_min * jnp.exp2(rung.astype(dtype))
+                period_mask = (1 << rung) - 1      # k % 2^r == k & mask
+                open_m = (k & period_mask) == 0
+                half = jnp.where(open_m, 0.5 * dt_r, 0.0)
+                vel = st.vel + half[:, None] * st.acc
+                u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+                st = st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u)
+
+                close_m = (((k + 1) & period_mask) == 0) & real
+                st, bf_now = _local_derived_rungs(
+                    st, bf_prev, wd, routes, slab_lo, cfg, domain, spec,
+                    close_m, tile_block, use_pallas)
+                half = jnp.where(close_m, 0.5 * dt_r, 0.0)
+                vel = st.vel + half[:, None] * st.acc
+                u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+                st = st._replace(vel=vel, u=u)
+                if cfg.mm_visc:
+                    from sphax.physics import pairs
+
+                    a_new = pairs.mm_alpha_update(st.alpha, st.divv, st.h,
+                                                  st.cs, dt_r, cfg)
+                    st = st._replace(alpha=jnp.where(close_m, a_new,
+                                                     st.alpha))
+
+                # rung update on closers (Hernquist-Katz alignment), plus
+                # the dt-violation health counter (local here; psum'd once
+                # at chunk end so ticks cost no extra collectives)
+                dt_des = jnp.where(real, particle_dt(st, cfg), cfg.dt_max)
+                mid = (k + 1) < span_ticks
+                viol = jnp.sum(
+                    (close_m & (dt_des < dt_min)).astype(jnp.int32)
+                    ) * mid.astype(jnp.int32)
+                r_des = jnp.clip(
+                    jnp.floor(jnp.log2(jnp.maximum(dt_des / dt_min, 1.0))),
+                    0, n_rungs - 1).astype(jnp.int32)
+                kp = k + 1
+                align = sum(((kp & ((1 << j) - 1)) == 0).astype(jnp.int32)
+                            for j in range(1, n_rungs))
+                r_new = jnp.where(r_des < rung, r_des,
+                                  jnp.minimum(r_des, align))
+                rung = jnp.where(close_m, r_new, rung)
+                nact = jnp.sum(close_m.astype(jnp.int32))
+                return (st, bf_now, rung, wd, routes, slab_lo), (
+                    dt_min, nact, viol)
+
+            def rebuild_blk(carry_r, r):
+                st, bf_prev, rung, hmax = carry_r
+                st = st._replace(pos=_wrap_transverse(st.pos, domain,
+                                                      spec.slab_axis))
+                wd, routes, slab_lo, dropped = _exchange_and_build(
+                    st, cuts, domain, spec)
+                ks = r * rebuild_every + jnp.arange(rebuild_every,
+                                                    dtype=jnp.int32)
+                (st, bf_prev, rung, _, _, _), outs = jax.lax.scan(
+                    tick, (st, bf_prev, rung, wd, routes, slab_lo), ks)
+                health = (jnp.asarray(dropped, jnp.int32),
+                          wd.overflow.astype(jnp.int32))
+                hmax = tuple(jnp.maximum(a, b)
+                             for a, b in zip(hmax, health))
+                return (st, bf_prev, rung, hmax), outs
+
+            (st, bf_prev, _, hmax), (dts, nacts, viols) = jax.lax.scan(
+                rebuild_blk, (st, bf_prev, rung0, hmax),
+                jnp.arange(span_ticks // rebuild_every, dtype=jnp.int32))
+            return (st, bf_prev, hmax), (dts.reshape(-1), nacts.reshape(-1),
+                                         jnp.sum(viols))
+
+        zero = jax.lax.pcast(jnp.zeros((), jnp.int32), AXIS, to="varying")
+        (st, _, hmax), (dts, nacts, viol) = jax.lax.scan(
+            span, (st, bf0, (zero, zero)), None, length=nspans)
+        health = tuple(jax.lax.psum(hh, AXIS) for hh in hmax)
+        nacts = jax.lax.psum(nacts.reshape(-1), AXIS)
+        return st, dts.reshape(-1), nacts, health, \
+            jax.lax.psum(jnp.sum(viol), AXIS)
+
+    sm = jax.shard_map(local_chunk, mesh=mesh,
+                       in_specs=(P(AXIS), P(), P()),
+                       out_specs=(P(AXIS), P(), P(), (P(), P()), P()),
+                       check_vma=False)  # pallas out_shapes have no vma
+    return jax.jit(sm)
