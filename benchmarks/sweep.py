@@ -63,24 +63,150 @@ def bench_one(n_side: int, steps: int = 16, rebuild_every: int = 2) -> dict:
                 device=str(jax.devices()[0]))
 
 
+def wslab_ratio(n_side: int, wengine_pss: float, steps: int = 8) -> float:
+    """Per-step overhead of the degenerate 1-mesh wslab chunk vs the
+    single-chip wengine at the same bench config (NEXT.md arch #5: the
+    knob-silently-lost class of regression — the round-3 fix was passing
+    fast_sub/rgroups through the dist planner, worth 1.15x alone)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import sphax
+    from sphax.dist import wslab
+    from sphax.ics import turbulence
+    from sphax.neighbors import window as win
+    from sphax.physics import wengine
+
+    ic = turbulence.build(n_side=n_side)
+    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
+    st = sphax.make_state(*(f32(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    st = st._replace(vel=0.3 * jax.random.normal(jax.random.PRNGKey(0),
+                                                 st.vel.shape, jnp.float32))
+    # the chunk assumes a state with valid derived fields (cs, rho, h):
+    # distributing the raw IC state gives cs=0 -> unbounded first dt ->
+    # particles scatter and every health counter fires (profile_wslab.py
+    # and bench_one both initialize the same way)
+    spec1 = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.05,
+                              dim=3, cutoff_scale=1.05, ghost_safety=1.4,
+                              fast_sub=3, rgroups=2)
+    st = wengine.update_derived(st, cfg, dom, spec1, use_pallas=True)
+    mesh = wslab.make_mesh(1)
+    spec = wslab.plan(dom, st.n, h_max=float(st.h.max()) * 1.05, n_shards=1,
+                      cutoff_scale=1.05, ghost_safety=1.4,
+                      fast_sub=3, rgroups=2)
+    cuts = jnp.asarray(wslab.equal_cuts(spec.ncell_ax, 1))
+    sh = wslab.distribute(st, dom, mesh, spec, np.asarray(cuts))
+    mr, _ = wslab.make_max_run(mesh, spec)(sh, cuts, dom)
+    spec = wslab.refine_wseg(spec, int(mr))
+    chunk = wslab.make_chunk(mesh, cfg, spec, nsteps=steps, rebuild_every=2,
+                             use_pallas=True)
+    # time repeated chunks on the SAME input (profile_wslab.py convention):
+    # capacities (wseg, ghost_cap) were refined from the t=0 distribution,
+    # so feeding evolved state back — bench_one's convention, fine for the
+    # single-chip engine whose plan_measured carries its own headroom —
+    # eventually overflows them and trips the health assert
+    out = chunk(sh, cuts, dom)
+    jax.block_until_ready(out[0].pos)
+    assert int(out[2][0]) == 0 and int(out[2][1]) == 0, "wslab health"
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        out = chunk(sh, cuts, dom)
+        jax.block_until_ready(out[0].pos)
+        walls.append(time.time() - t0)
+    pss = st.n * steps / min(walls)
+    return wengine_pss / pss
+
+
+def rungs_speedup(n_side: int = 100, n_rungs: int = 4,
+                  nspans: int = 2) -> float:
+    """Block-timestep speedup on the Sedov blast (benchmarks/bench_rungs.py
+    inline): equal base-tick counts, wall ratio = true speedup."""
+    import jax
+    import jax.numpy as jnp
+
+    import sphax
+    from sphax.ics import sedov
+    from sphax.integrate import rungs
+    from sphax.neighbors import window as win
+    from sphax.physics import wengine
+
+    nticks = nspans * (1 << (n_rungs - 1))
+    cfg = dataclasses.replace(sphax.configs.SEDOV, newton_iters=2)
+    ic = sedov.build(n_side=n_side, E=1.0)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    dom = sphax.box(jnp.zeros(3, jnp.float32), f32(ic["box"]))
+    st = sphax.make_state(*(f32(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.3,
+                             dim=3, cutoff_scale=1.25, fast_sub=3,
+                             rgroups=2)
+    st = wengine.update_derived(st, cfg, dom, spec, use_pallas=True)
+
+    def timed(fn):
+        out = fn(st)
+        jax.block_until_ready(out[0].pos)
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(st)
+            jax.block_until_ready(out[0].pos)
+            walls.append(time.time() - t0)
+        return out, sorted(walls)[1]
+
+    (st_g, _, _, ovf_g), w_g = timed(
+        lambda s: wengine.simulate(s, cfg, dom, spec, nticks,
+                                   rebuild_every=2, use_pallas=True))
+    (st_r, _, _, ovf_r, _), w_r = timed(
+        lambda s: rungs.simulate_rungs(s, cfg, dom, spec, nspans,
+                                       n_rungs=n_rungs, rebuild_every=2,
+                                       use_pallas=True))
+    assert int(ovf_g) == 0 and int(ovf_r) == 0
+    assert bool(jnp.isfinite(st_g.rho).all() & jnp.isfinite(st_r.rho).all())
+    return w_g / w_r
+
+
 def gate() -> int:
     """Perf regression gate (SURVEY.md §4.2.6): measured throughput must not
-    fall below the stored floor (benchmarks/perf_floor.json, set to ~80% of
-    the current BASELINE.md numbers so noise passes but a real regression —
-    e.g. a deliberate 2x slowdown — fails loudly). Returns a shell rc."""
+    fall below the stored floor (benchmarks/perf_floor.json, ratcheted each
+    round to ~85% of the current BASELINE.md numbers so noise passes but a
+    15% regression on any axis fails loudly — round-3 judge Next #5).
+    Besides the absolute pss floors, two RATIO gates catch regression
+    classes an absolute floor can miss: the wslab per-step overhead vs
+    wengine (the silent-knob class) and the rungs B=4 Sedov speedup (the
+    tile-skip machinery). Returns a shell rc."""
     floor_path = os.path.join(os.path.dirname(__file__), "perf_floor.json")
     with open(floor_path) as f:
         floors = json.load(f)
     rc = 0
-    for key, floor in floors.items():
-        n_side = int(key.split("=")[1])
-        rec = bench_one(n_side)
-        pss = rec["particle_steps_per_sec"]
-        ok = pss >= floor
-        print(json.dumps(dict(gate=key, measured=pss, floor=floor, ok=ok)),
-              flush=True)
+    results = {}
+
+    def check(key, measured, floor, higher_is_better=True):
+        nonlocal rc
+        ok = (measured >= floor) if higher_is_better else (measured <= floor)
+        print(json.dumps(dict(gate=key, measured=round(measured, 4),
+                              floor=floor, ok=bool(ok))), flush=True)
         if not ok:
             rc = 1
+
+    for key, floor in floors.items():
+        if not key.startswith("n_side="):
+            continue
+        n_side = int(key.split("=")[1])
+        rec = bench_one(n_side)
+        results[n_side] = rec["particle_steps_per_sec"]
+        check(key, results[n_side], floor)
+    if "wslab_step_ratio_max" in floors:
+        base = results.get(100) or bench_one(100)["particle_steps_per_sec"]
+        check("wslab_step_ratio_max", wslab_ratio(100, base),
+              floors["wslab_step_ratio_max"], higher_is_better=False)
+    if "rungs_b4_min" in floors:
+        check("rungs_b4_min", rungs_speedup(),
+              floors["rungs_b4_min"])
     print("PERF GATE:", "PASS" if rc == 0 else "FAIL", flush=True)
     return rc
 
