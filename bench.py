@@ -41,6 +41,10 @@ def main():
     # candidate compaction (round 4): walk build-time-compacted per-group
     # candidate lists instead of the in-place sorted windows
     compact = bool(int(os.environ.get("BENCH_COMPACT", 0)))
+    # drift-gated rebuilds (round 4): cap K steps of staleness, rebuild on
+    # the measured Verlet-skin gate instead of a fixed worst-case cadence
+    # (same physics to summation-order roundoff; BENCH_REBUILD is ignored)
+    adaptive = int(os.environ.get("BENCH_ADAPTIVE", 0))
 
     ic = turbulence.build(n_side=n_side)
     # production settings: h warm-starts from the previous step (one Newton
@@ -67,7 +71,8 @@ def main():
 
     run = lambda s: wengine.simulate(s, cfg, dom, spec, steps,
                                      rebuild_every=rebuild_every,
-                                     use_pallas=True)
+                                     use_pallas=True,
+                                     adaptive_rebuild=adaptive)
     st2, _, dts, ovf = run(st)  # compile + warm
     jax.block_until_ready(st2.pos)
 

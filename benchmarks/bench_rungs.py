@@ -141,16 +141,30 @@ def main():
     r = lambda s: rungs.simulate_rungs(s, cfg, dom, spec, nspans,
                                        n_rungs=n_rungs, rebuild_every=2,
                                        use_pallas=True)
-    (st_r, dts_r, nact, ovf_r, viol), w_r = timed(r, f"rungs B={n_rungs}")
+    (st_r, dts_r, nact, ovf_r, viol, nrb), w_r = timed(r, f"rungs B={n_rungs}")
     assert int(ovf_r) == 0
     nact = np.asarray(nact)
     frac = nact.sum() / (st.n * len(nact))
     print(f"active fraction {frac:.3f} (ceiling {1/max(frac,1e-9):.2f}x); "
-          f"dt violations {int(viol)}")
+          f"dt violations {int(viol)}; rebuilds {int(nrb)}")
     print(f"speedup {w_g / w_r:.2f}x  (t_sim global {float(np.sum(dts_g)):.3e}"
           f" vs rungs {float(np.sum(dts_r)):.3e})")
-    for s, tag in ((st_g, "global"), (st_r, "rungs")):
+
+    # drift-gated rebuilds: same physics (tests/unit/test_rungs.py pins the
+    # trajectory at roundoff), builds stretched to the Verlet-skin limit
+    a = lambda s: rungs.simulate_rungs(s, cfg, dom, spec, nspans,
+                                       n_rungs=n_rungs, use_pallas=True,
+                                       adaptive_rebuild=span)
+    (st_a, dts_a, _, ovf_a, viol_a, nrb_a), w_a = timed(
+        a, f"rungs B={n_rungs} adaptive")
+    assert int(ovf_a) == 0
+    print(f"adaptive rebuilds {int(nrb_a)} (vs {int(nrb)} at cadence 2); "
+          f"dt violations {int(viol_a)}; "
+          f"speedup vs global {w_g / w_a:.2f}x, vs fixed {w_r / w_a:.2f}x")
+    for s, tag in ((st_g, "global"), (st_r, "rungs"), (st_a, "adaptive")):
         assert bool(jnp.isfinite(s.rho).all()), tag
+    np.testing.assert_allclose(np.asarray(st_a.rho), np.asarray(st_r.rho),
+                               rtol=5e-4)
 
 
 if __name__ == "__main__":

@@ -161,7 +161,7 @@ def rungs_speedup(n_side: int = 100, n_rungs: int = 4,
     (st_g, _, _, ovf_g), w_g = timed(
         lambda s: wengine.simulate(s, cfg, dom, spec, nticks,
                                    rebuild_every=2, use_pallas=True))
-    (st_r, _, _, ovf_r, _), w_r = timed(
+    (st_r, _, _, ovf_r, _, _), w_r = timed(
         lambda s: rungs.simulate_rungs(s, cfg, dom, spec, nspans,
                                        n_rungs=n_rungs, rebuild_every=2,
                                        use_pallas=True))

@@ -53,6 +53,13 @@ def main(argv=None):
     rebuild_every = int(kv.pop("rebuild_every", 2))  # dist structure reuse
     n_rungs = int(kv.pop("rungs", 1))        # >1: block timesteps (window
     #                                           engine, no gravity/driving)
+    # adaptive=K: drift-gated window rebuilds (max K ticks/steps of
+    # staleness; 0 = fixed cadence). Same physics to roundoff — rebuilds
+    # stretch to the Verlet-skin limit instead of a worst-case cadence
+    # (BASELINE.md round-4 rows). Applies to whichever single-device
+    # window integrator runs: rungs>1 (simulate_rungs) or global-dt
+    # (wengine.simulate)
+    adaptive = int(kv.pop("adaptive", 0))
 
     from sphax.diag import conservation
     from sphax.io import checkpoint, metrics
@@ -77,6 +84,12 @@ def main(argv=None):
           + (f" shards={shard_str}" if n_dev > 1 else ""))
 
     if n_dev > 1:
+        if adaptive:
+            raise SystemExit(
+                "adaptive is single-device for now: the distributed "
+                "rebuild is a collective (exchange + bundle build), so the "
+                "drift gate needs a pmax'd decision — run shards=1 or "
+                "fixed-cadence distributed rungs")
         return _main_dist(name, prob, state, drive, t, step, t_end, out,
                           shards, chunk, rebuild_every, metrics_every,
                           snapshot_every, checkpoint_every, log, n_rungs)
@@ -96,10 +109,11 @@ def main(argv=None):
     def run_chunk(state, drive):
         if n_rungs > 1:
             nspans = max(1, -(-chunk // span))
-            state, dts, nacts, ovf, viol = rungs_mod.simulate_rungs(
+            state, dts, nacts, ovf, viol, _ = rungs_mod.simulate_rungs(
                 state, prob.cfg, prob.domain, prob.wspec, nspans,
                 n_rungs=n_rungs, rebuild_every=rungs_rebuild,
-                use_pallas=jax.default_backend() != "cpu")
+                use_pallas=jax.default_backend() != "cpu",
+                adaptive_rebuild=adaptive)
             import numpy as np
             tot = int(np.sum(np.asarray(nacts)))
             last_frac[0] = tot / (state.n * len(nacts))
@@ -125,7 +139,8 @@ def main(argv=None):
             return wengine.simulate(state, prob.cfg, prob.domain, prob.wspec,
                                     nst, use_pallas=jax.default_backend()
                                     != "cpu", drive=drive,
-                                    drive_spec=prob.drive_spec)
+                                    drive_spec=prob.drive_spec,
+                                    adaptive_rebuild=adaptive)
         st, drive, dts = simulate(state, prob.cfg, prob.domain, prob.engine,
                                   chunk, drive, prob.drive_spec)
         return st, drive, dts, 0

@@ -180,11 +180,13 @@ def _visc_factor_full(state: ParticleState, cfg: SPHConfig, domain: Domain,
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "nspans", "n_rungs",
                                    "rebuild_every", "tile_block",
-                                   "use_pallas"))
+                                   "use_pallas", "adaptive_rebuild",
+                                   "skin_safety"))
 def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
                    spec: WindowSpec, nspans: int, n_rungs: int = 4,
                    rebuild_every: int = 2, tile_block: int = 16,
-                   use_pallas: bool = True):
+                   use_pallas: bool = True, adaptive_rebuild: int = 0,
+                   skin_safety: float = 0.8):
     """Block-timestep production loop (nested lax.scan, zero host trips).
 
     ``state`` must carry current derived quantities (run update_derived
@@ -193,7 +195,23 @@ def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
     ``rebuild_every`` ticks (ticks are dt_min-sized — the same drift
     contract as global-dt ``simulate`` at the same cadence).
 
-    Returns (state, dts, n_active, overflow, dt_viol):
+    ``adaptive_rebuild > 0`` switches to DRIFT-GATED rebuilds: the
+    structure is rebuilt only when the accumulated drift since the last
+    build threatens the Verlet-skin contract (2 * max_drift >=
+    skin_safety * (spec.cutoff - 2 * max h)), or after ``adaptive_rebuild``
+    ticks, whichever comes first. The check runs after each tick's drift
+    and the rebuild (when taken) happens right before the derived pass, so
+    a just-rebuilt structure has ZERO staleness. Under the skin contract a
+    stale structure's candidate set is a superset of the true neighbor
+    set, so adaptive cadence changes summation order only — trajectories
+    match the fixed-cadence path to roundoff (tests/unit/test_rungs.py).
+    This attacks the dominant per-tick fixed cost at low active fractions
+    (the ~48 ms/tick amortized rebuild at rebuild_every=2, BASELINE.md
+    round-3 rungs row): the cold bulk of a blast barely drifts per
+    dt_min-tick, so builds stretch to the skin limit instead of a static
+    worst-case cadence. ``rebuild_every`` is ignored in this mode.
+
+    Returns (state, dts, n_active, overflow, dt_viol, n_rebuilds):
       dts       [nspans * 2^{B-1}]  base dt of every tick;
       n_active  [nspans * 2^{B-1}]  closing-particle count per tick — the
                                     integrated active fraction is the
@@ -201,7 +219,9 @@ def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
       overflow  max window-structure overflow across all rebuilds (must
                 be 0, as in simulate);
       dt_viol   particles that wanted dt < dt_min at a mid-span close,
-                summed over ticks (see module docstring).
+                summed over ticks (see module docstring);
+      n_rebuilds window builds taken over the whole run (adaptive mode:
+                measured; fixed mode: the static count).
     """
     if cfg.gravity:
         raise NotImplementedError(
@@ -212,64 +232,135 @@ def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
             "h_predict assumes every particle's divv/h advance each step; "
             "rung ticks close subsets — run global-dt or h_predict=False")
     span_ticks = 1 << (n_rungs - 1)
-    if span_ticks % rebuild_every:
+    if not adaptive_rebuild and span_ticks % rebuild_every:
         raise ValueError("rebuild_every must divide 2^(n_rungs-1)")
     dtype = state.pos.dtype
 
     bf0 = _visc_factor_full(state, cfg, domain, spec, tile_block, use_pallas)
 
-    def span(carry, _):
-        st, bf_prev = carry
-        # sync point: every particle closed on the previous tick
+    def open_drift(st, rung, dt_min, k):
+        """Half-kick openers, drift everyone by dt_min (unwrapped)."""
+        dt_r = dt_min * jnp.exp2(rung.astype(dtype))
+        period_mask = (1 << rung) - 1              # k % 2^r == k & mask
+        open_m = (k & period_mask) == 0
+        half = jnp.where(open_m, 0.5 * dt_r, 0.0)
+        vel = st.vel + half[:, None] * st.acc
+        u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+        return (st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u),
+                dt_r, period_mask)
+
+    def close_tick(st, bf_prev, rung, wd, k, dt_min, dt_r, period_mask):
+        """Derived pass on closers' tiles, closing half-kick, rung update."""
+        close_m = ((k + 1) & period_mask) == 0
+        st, bf_now = _derived_rungs(st, bf_prev, wd, cfg, domain, spec,
+                                    close_m, tile_block, use_pallas)
+        half = jnp.where(close_m, 0.5 * dt_r, 0.0)
+        vel = st.vel + half[:, None] * st.acc
+        u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+        st = st._replace(vel=vel, u=u)
+        if cfg.mm_visc:
+            from sphax.physics import pairs
+
+            a_new = pairs.mm_alpha_update(st.alpha, st.divv, st.h,
+                                          st.cs, dt_r, cfg)
+            st = st._replace(alpha=jnp.where(close_m, a_new, st.alpha))
+
+        # rung update on closers: decrease freely, increase only onto
+        # ticks the new rung divides (alignment of k+1)
+        dt_des = particle_dt(st, cfg)
+        # dt_viol: a closer mid-span wanting dt < dt_min cannot be
+        # honored until the next sync; the span's FINAL tick is not a
+        # violation — everyone re-syncs immediately
+        mid = (k + 1) < span_ticks
+        viol = jnp.sum((close_m & (dt_des < dt_min)).astype(jnp.int32)
+                       ) * mid.astype(jnp.int32)
+        r_des = jnp.clip(
+            jnp.floor(jnp.log2(jnp.maximum(dt_des / dt_min, 1.0))),
+            0, n_rungs - 1).astype(jnp.int32)
+        kp = k + 1
+        align = sum(((kp & ((1 << j) - 1)) == 0).astype(jnp.int32)
+                    for j in range(1, n_rungs))
+        r_new = jnp.where(r_des < rung, r_des,
+                          jnp.minimum(r_des, align))
+        rung = jnp.where(close_m, r_new, rung)
+        nact = jnp.sum(close_m.astype(jnp.int32))
+        return st, bf_now, rung, nact, viol
+
+    def start_rungs(st):
+        """Span sync point: every particle closed on the previous tick."""
         dt_des0 = particle_dt(st, cfg)
         dt_min = jnp.min(dt_des0)
         rung0 = jnp.clip(
             jnp.floor(jnp.log2(jnp.maximum(dt_des0 / dt_min, 1.0))),
             0, n_rungs - 1).astype(jnp.int32)
+        return dt_min, rung0
+
+    if adaptive_rebuild:
+        state = state._replace(pos=domain.wrap(state.pos))
+        wd0 = win.build(state.pos, domain, spec)
+
+        def span_a(carry, _):
+            st, bf_prev, wd, ref, since = carry
+            dt_min, rung0 = start_rungs(st)
+
+            def tick(carry_t, k):
+                st, bf_prev, rung, wd, ref, since = carry_t
+                st, dt_r, pm = open_drift(st, rung, dt_min, k)
+                # drift gate: a pair currently within 2 h_max was at most
+                # 2*max_drift farther apart at build time; rebuild before
+                # the margin over spec.cutoff is spent (or at the static
+                # staleness bound). Rebuilding here — after the drift,
+                # before the derived pass — gives the fresh structure zero
+                # staleness.
+                maxd2 = jnp.max(jnp.sum((st.pos - ref) ** 2, axis=-1))
+                slack = jnp.maximum(
+                    jnp.asarray(spec.cutoff, dtype) - 2.0 * jnp.max(st.h),
+                    0.0)
+                need = ((4.0 * maxd2 >= (skin_safety * slack) ** 2)
+                        | (since + 1 >= adaptive_rebuild))
+
+                def rb(s):
+                    sw = s._replace(pos=domain.wrap(s.pos))
+                    wdn = win.build(sw.pos, domain, spec)
+                    return (sw, wdn, sw.pos, jnp.zeros((), jnp.int32),
+                            wdn.overflow.astype(jnp.int32))
+
+                def keep(s):
+                    return (s, wd, ref, since + 1,
+                            jnp.zeros((), jnp.int32))
+
+                st, wd, ref, since, ovf = jax.lax.cond(need, rb, keep, st)
+                st, bf_now, rung, nact, viol = close_tick(
+                    st, bf_prev, rung, wd, k, dt_min, dt_r, pm)
+                return (st, bf_now, rung, wd, ref, since), (
+                    dt_min, nact, viol, ovf, need.astype(jnp.int32))
+
+            (st, bf_prev, _, wd, ref, since), (
+                dts, nacts, viols, ovfs, rbs) = jax.lax.scan(
+                    tick, (st, bf_prev, rung0, wd, ref, since),
+                    jnp.arange(span_ticks, dtype=jnp.int32))
+            return (st, bf_prev, wd, ref, since), (
+                dts, nacts, jnp.sum(viols), jnp.maximum(jnp.max(ovfs),
+                                                        jnp.int32(0)),
+                jnp.sum(rbs))
+
+        (state, _, _, _, _), (dts, nacts, viol, ovf, rbs) = jax.lax.scan(
+            span_a, (state, bf0, wd0, state.pos, jnp.zeros((), jnp.int32)),
+            None, length=nspans)
+        return (state._replace(pos=domain.wrap(state.pos)),
+                dts.reshape(-1), nacts.reshape(-1),
+                jnp.maximum(jnp.max(ovf), wd0.overflow.astype(jnp.int32)),
+                jnp.sum(viol), jnp.sum(rbs) + 1)
+
+    def span(carry, _):
+        st, bf_prev = carry
+        dt_min, rung0 = start_rungs(st)
 
         def tick(carry_t, k):
             st, bf_prev, rung, wd = carry_t
-            dt_r = dt_min * jnp.exp2(rung.astype(dtype))
-            period_mask = (1 << rung) - 1          # k % 2^r == k & mask
-            open_m = (k & period_mask) == 0
-            half = jnp.where(open_m, 0.5 * dt_r, 0.0)
-            vel = st.vel + half[:, None] * st.acc
-            u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
-            st = st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u)
-
-            close_m = ((k + 1) & period_mask) == 0
-            st, bf_now = _derived_rungs(st, bf_prev, wd, cfg, domain, spec,
-                                        close_m, tile_block, use_pallas)
-            half = jnp.where(close_m, 0.5 * dt_r, 0.0)
-            vel = st.vel + half[:, None] * st.acc
-            u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
-            st = st._replace(vel=vel, u=u)
-            if cfg.mm_visc:
-                from sphax.physics import pairs
-
-                a_new = pairs.mm_alpha_update(st.alpha, st.divv, st.h,
-                                              st.cs, dt_r, cfg)
-                st = st._replace(alpha=jnp.where(close_m, a_new, st.alpha))
-
-            # rung update on closers: decrease freely, increase only onto
-            # ticks the new rung divides (alignment of k+1)
-            dt_des = particle_dt(st, cfg)
-            # dt_viol: a closer mid-span wanting dt < dt_min cannot be
-            # honored until the next sync; the span's FINAL tick is not a
-            # violation — everyone re-syncs immediately
-            mid = (k + 1) < span_ticks
-            viol = jnp.sum((close_m & (dt_des < dt_min)).astype(jnp.int32)
-                           ) * mid.astype(jnp.int32)
-            r_des = jnp.clip(
-                jnp.floor(jnp.log2(jnp.maximum(dt_des / dt_min, 1.0))),
-                0, n_rungs - 1).astype(jnp.int32)
-            kp = k + 1
-            align = sum(((kp & ((1 << j) - 1)) == 0).astype(jnp.int32)
-                        for j in range(1, n_rungs))
-            r_new = jnp.where(r_des < rung, r_des,
-                              jnp.minimum(r_des, align))
-            rung = jnp.where(close_m, r_new, rung)
-            nact = jnp.sum(close_m.astype(jnp.int32))
+            st, dt_r, pm = open_drift(st, rung, dt_min, k)
+            st, bf_now, rung, nact, viol = close_tick(
+                st, bf_prev, rung, wd, k, dt_min, dt_r, pm)
             return (st, bf_now, rung, wd), (dt_min, nact, viol)
 
         def rebuild_blk(carry_r, r):
@@ -290,5 +381,7 @@ def simulate_rungs(state: ParticleState, cfg: SPHConfig, domain: Domain,
 
     (state, _), (dts, nacts, viol, ovf) = jax.lax.scan(
         span, (state, bf0), None, length=nspans)
+    n_rebuilds = jnp.asarray(nspans * (span_ticks // rebuild_every),
+                             jnp.int32)
     return (state._replace(pos=domain.wrap(state.pos)), dts.reshape(-1),
-            nacts.reshape(-1), jnp.max(ovf), jnp.sum(viol))
+            nacts.reshape(-1), jnp.max(ovf), jnp.sum(viol), n_rebuilds)

@@ -484,11 +484,13 @@ def update_derived(state: ParticleState, cfg: SPHConfig, domain: Domain,
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "nsteps", "rebuild_every",
-                                   "tile_block", "use_pallas", "drive_spec"))
+                                   "tile_block", "use_pallas", "drive_spec",
+                                   "adaptive_rebuild", "skin_safety"))
 def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
              spec: WindowSpec, nsteps: int, rebuild_every: int = 2,
              tile_block: int = 16, use_pallas: bool = True,
-             drive=None, drive_spec=None):
+             drive=None, drive_spec=None, adaptive_rebuild: int = 0,
+             skin_safety: float = 0.8):
     """Window-engine production loop (nested lax.scan, zero host trips).
 
     Outer iteration: wrap positions into the box and rebuild the window
@@ -497,6 +499,21 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
     far side of the box, which a stale structure cannot represent — the same
     reason the slab engine wraps only at redistribution; spec.cutoff's
     margin over 2 h_max must cover the unwrapped drift between rebuilds).
+
+    ``adaptive_rebuild > 0`` switches to DRIFT-GATED rebuilds (the rungs.py
+    scheme): one flat scan where each step rebuilds only when the
+    accumulated drift since the last build threatens the Verlet-skin
+    contract (2 * max_drift >= skin_safety * (spec.cutoff - 2 * max h)) or
+    after ``adaptive_rebuild`` steps of staleness. Under the skin contract
+    the stale structure's candidate set is a superset of the true neighbor
+    set, so this changes WHEN builds happen, never the pair set —
+    trajectories match fixed-cadence to summation-order roundoff
+    (tests/unit/test_wengine_adaptive.py). The gate runs on the PREVIOUS
+    step's end-of-step positions (one dt_max-bounded drift below the
+    threshold, absorbed by skin_safety < 1), which keeps the rebuild at the
+    step top where the wrap is legal (before any kick uses stale acc).
+    ``rebuild_every`` is ignored in this mode.
+
     Returns (state, drive, dts, overflow) — ``overflow`` is the MAX
     per-rebuild structure overflow across the whole run (tiles past wseg +
     dropped ghosts); callers must treat nonzero as a hard error, since a
@@ -506,12 +523,10 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
     from sphax.integrate.timestep import local_dt
     from sphax.physics import driving as drv_mod
 
-    if nsteps % rebuild_every:
+    if not adaptive_rebuild and nsteps % rebuild_every:
         raise ValueError("nsteps must be a multiple of rebuild_every")
 
-    def inner(carry, _):
-        st, wd, dr = carry
-        dt = local_dt(st, cfg)
+    def step_with(st, wd, dr, dt):
         if drive_spec is not None:
             modes = jnp.asarray(drive_spec.modes, st.pos.dtype)
             dr = drv_mod.update(dr, modes, dt, drive_spec.tau,
@@ -527,6 +542,56 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
             derived = lambda s: derived_with(s, wd, cfg, domain, spec,
                                              tile_block, use_pallas)
         st, dt = leapfrog.step(st, cfg, domain, derived, dt=dt, wrap=False)
+        return st, dr, dt
+
+    if drive is None:
+        from sphax.physics.driving import DriveState
+        drive = DriveState(jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+                           jax.random.PRNGKey(0))
+
+    if adaptive_rebuild:
+        state = state._replace(pos=domain.wrap(state.pos))
+        wd0 = win.build(state.pos, domain, spec)
+        dtype = state.pos.dtype
+
+        def astep(carry, _):
+            st, wd, ref, since, dr = carry
+            dt = local_dt(st, cfg)
+            # KDK drifts by dt * (v + dt/2 * a) with the CARRIED acc, so
+            # this step's end-of-drift displacement from the build
+            # positions is known EXACTLY before the walk; the drive kick
+            # only perturbs vel after the drift. Rebuild at the step top
+            # (where the wrap is legal) iff the post-drift staleness would
+            # spend the skin margin — or at the static staleness cap.
+            disp = (st.pos + dt * (st.vel + 0.5 * dt * st.acc)) - ref
+            maxd2 = jnp.max(jnp.sum(disp * disp, axis=-1))
+            slack = jnp.maximum(
+                jnp.asarray(spec.cutoff, dtype) - 2.0 * jnp.max(st.h), 0.0)
+            need = ((4.0 * maxd2 >= (skin_safety * slack) ** 2)
+                    | (since + 1 >= adaptive_rebuild))
+
+            def rb(s):
+                sw = s._replace(pos=domain.wrap(s.pos))
+                wdn = win.build(sw.pos, domain, spec)
+                return (sw, wdn, sw.pos, jnp.zeros((), jnp.int32),
+                        wdn.overflow.astype(jnp.int32))
+
+            def keep(s):
+                return s, wd, ref, since + 1, jnp.zeros((), jnp.int32)
+
+            st, wd, ref, since, ovf = jax.lax.cond(need, rb, keep, st)
+            st, dr, dt = step_with(st, wd, dr, dt)
+            return (st, wd, ref, since, dr), (dt, ovf)
+
+        (state, _, _, _, drive), (dts, ovf) = jax.lax.scan(
+            astep, (state, wd0, state.pos, jnp.zeros((), jnp.int32), drive),
+            None, length=nsteps)
+        return (state._replace(pos=domain.wrap(state.pos)), drive, dts,
+                jnp.maximum(jnp.max(ovf), wd0.overflow.astype(jnp.int32)))
+
+    def inner(carry, _):
+        st, wd, dr = carry
+        st, dr, dt = step_with(st, wd, dr, local_dt(st, cfg))
         return (st, wd, dr), dt
 
     def outer(carry, _):
@@ -537,10 +602,6 @@ def simulate(state: ParticleState, cfg: SPHConfig, domain: Domain,
                                         length=rebuild_every)
         return (st, dr), (dts, wd.overflow)
 
-    if drive is None:
-        from sphax.physics.driving import DriveState
-        drive = DriveState(jnp.zeros((1, 3)), jnp.zeros((1, 3)),
-                           jax.random.PRNGKey(0))
     (state, drive), (dts, ovf) = jax.lax.scan(
         outer, (state, drive), None, length=nsteps // rebuild_every)
     return (state._replace(pos=domain.wrap(state.pos)), drive,

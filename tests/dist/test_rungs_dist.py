@@ -76,7 +76,7 @@ def test_dist_rungs_matches_single_chip():
     st, dom, spec1 = _setup(cfg)
 
     n_rungs, nspans, rebuild = 3, 1, 2
-    ref, dts_1, nact_1, ovf, viol_1 = rungs.simulate_rungs(
+    ref, dts_1, nact_1, ovf, viol_1, _ = rungs.simulate_rungs(
         st, cfg, dom, spec1, nspans=nspans, n_rungs=n_rungs,
         rebuild_every=rebuild, use_pallas=False)
     assert int(ovf) == 0

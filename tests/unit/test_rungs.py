@@ -45,7 +45,7 @@ def test_rungs_b1_matches_global_dt():
     nsteps = 4
     st_g, _, dts_g, ovf_g = wengine.simulate(
         st, cfg, dom, spec, nsteps, rebuild_every=1, use_pallas=False)
-    st_r, dts_r, nact, ovf_r, viol = rungs.simulate_rungs(
+    st_r, dts_r, nact, ovf_r, viol, _ = rungs.simulate_rungs(
         st, cfg, dom, spec, nspans=nsteps, n_rungs=1, rebuild_every=1,
         use_pallas=False)
 
@@ -74,7 +74,7 @@ def test_rungs_sedov_multirung():
                + conservation.internal_energy(st))
 
     n_rungs = 3
-    st_r, dts, nact, ovf, viol = rungs.simulate_rungs(
+    st_r, dts, nact, ovf, viol, _ = rungs.simulate_rungs(
         st, cfg, dom, spec, nspans=3, n_rungs=n_rungs, rebuild_every=2,
         use_pallas=False)
 
@@ -93,6 +93,41 @@ def test_rungs_sedov_multirung():
     e1 = float(conservation.kinetic_energy(st_r)
                + conservation.internal_energy(st_r))
     assert abs(e1 - e0) / e0 < 4e-2, (e0, e1)
+
+
+def test_rungs_adaptive_rebuild_matches_fixed():
+    """Drift-gated rebuilds change WHEN the structure is rebuilt, never the
+    physics: under the Verlet-skin contract every structure's candidate set
+    is a superset of the true neighbor set, so the adaptive trajectory must
+    match the fixed-cadence one to summation-order roundoff — while taking
+    measurably fewer builds. A missed pair (drift gate firing too late)
+    would show up as an O(1) rho/force error, far above the tolerance."""
+    cfg = dataclasses.replace(sphax.configs.SEDOV, newton_iters=2)
+    ic = sedov.build(n_side=10, E=1.0)
+    st, dom, spec = _setup(ic, cfg)
+
+    n_rungs, nspans = 3, 2           # 2 spans x 4 ticks
+    ref, dts_f, nact_f, ovf_f, viol_f, nrb_f = rungs.simulate_rungs(
+        st, cfg, dom, spec, nspans=nspans, n_rungs=n_rungs,
+        rebuild_every=1, use_pallas=False)
+    # adaptive ignores rebuild_every (no divisibility constraint): cap 8
+    # ticks of staleness, drift-gate below that
+    st_a, dts_a, nact_a, ovf_a, viol_a, nrb_a = rungs.simulate_rungs(
+        st, cfg, dom, spec, nspans=nspans, n_rungs=n_rungs,
+        rebuild_every=3, use_pallas=False, adaptive_rebuild=8)
+
+    assert int(ovf_f) == 0 and int(ovf_a) == 0
+    # the gate must have actually skipped builds (vs 8 at cadence 1);
+    # the initial build counts, so nrb >= 1
+    assert 1 <= int(nrb_a) < int(nrb_f), (int(nrb_a), int(nrb_f))
+    np.testing.assert_allclose(np.asarray(dts_a), np.asarray(dts_f),
+                               rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(nact_a), np.asarray(nact_f))
+    assert int(viol_a) == int(viol_f)
+    for f in ("pos", "vel", "u", "rho", "h", "P"):
+        np.testing.assert_allclose(np.asarray(getattr(st_a, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   rtol=1e-6, atol=1e-9, err_msg=f)
 
 
 def test_mask_structure_zeroes_inactive_tiles():

@@ -46,7 +46,7 @@ def test_rungs_b1_matches_simulate_on_chip():
 
     st_g, _, dts_g, ovf_g = wengine.simulate(
         st, cfg, dom, spec, nsteps=2, rebuild_every=1, use_pallas=True)
-    st_r, dts_r, nact, ovf_r, viol = rungs.simulate_rungs(
+    st_r, dts_r, nact, ovf_r, viol, _ = rungs.simulate_rungs(
         st, cfg, dom, spec, nspans=2, n_rungs=1, rebuild_every=1,
         use_pallas=True)
     assert int(ovf_g) == 0 and int(ovf_r) == 0 and int(viol) == 0
@@ -68,7 +68,7 @@ def test_rungs_sedov_multirung_on_chip():
     e0 = float(conservation.kinetic_energy(st)
                + conservation.internal_energy(st))
 
-    st_r, dts, nact, ovf, viol = rungs.simulate_rungs(
+    st_r, dts, nact, ovf, viol, _ = rungs.simulate_rungs(
         st, cfg, dom, spec, nspans=2, n_rungs=4, rebuild_every=2,
         use_pallas=True)
     assert int(ovf) == 0
@@ -82,3 +82,20 @@ def test_rungs_sedov_multirung_on_chip():
     e1 = float(conservation.kinetic_energy(st_r)
                + conservation.internal_energy(st_r))
     assert abs(e1 - e0) / e0 < 4e-2, (e0, e1)
+
+    # drift-gated rebuilds on the SAME problem/spec: the lax.cond-wrapped
+    # win.build + Mosaic-kernel combination first meets the chip here
+    # (the CPU tier pins the trajectory equivalence at f64; this pins the
+    # compiled artifact at fp32 and that the gate actually skips builds)
+    st_a, dts_a, nact_a, ovf_a, viol_a, nrb_a = rungs.simulate_rungs(
+        st, cfg, dom, spec, nspans=2, n_rungs=4, use_pallas=True,
+        adaptive_rebuild=8)
+    assert int(ovf_a) == 0
+    assert 1 <= int(nrb_a) < 2 * (8 // 2), int(nrb_a)
+    np.testing.assert_allclose(np.asarray(dts_a), np.asarray(dts),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nact_a), nact)
+    for f in ("rho", "u"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_a, f)), np.asarray(getattr(st_r, f)),
+            rtol=5e-3, atol=1e-6, err_msg=f)
