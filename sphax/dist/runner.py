@@ -175,7 +175,18 @@ class PencilRun:
                  ns0: int, ns1: int, chunk_steps: int = 8,
                  rebuild_every: int = 2, drive=None, drive_spec=None,
                  h_margin: float = 1.1, rebalance_every: int = 1,
-                 **plan_kw):
+                 n_rungs: int = 1, **plan_kw):
+        if n_rungs > 1:
+            # pencil block timesteps (dist/prungs.py): chunks are whole
+            # spans of 2^{B-1} globally-synchronized base ticks
+            if drive_spec is not None or cfg.gravity:
+                raise NotImplementedError(
+                    "rungs>1 needs the window engine without self-gravity "
+                    "or OU driving (see integrate/rungs.py scope)")
+            span = 1 << (n_rungs - 1)
+            if span % rebuild_every:
+                rebuild_every = 1
+            chunk_steps = max(1, -(-chunk_steps // span)) * span
         if chunk_steps % rebuild_every:
             chunk_steps += rebuild_every - chunk_steps % rebuild_every
         self.cfg, self.domain = cfg, domain
@@ -184,6 +195,10 @@ class PencilRun:
         self.chunk_steps = chunk_steps
         self.rebalance_every = rebalance_every
         self.drive, self.drive_spec = drive, drive_spec
+        self.n_rungs = n_rungs
+        self.last_active_frac = 1.0
+        self.last_dt_viol = 0
+        self._n_real = state.n          # pre-distribute: all rows real
         self._nchunks = 0
 
         self.mesh = pencil.make_mesh(ns0, ns1)

@@ -1,0 +1,87 @@
+"""Pencil-decomposition block timesteps (dist/prungs.py) vs single-chip.
+
+The pencil twin of tests/dist/test_rungs_dist.py, on the fake-device CPU
+mesh: the two-hop corner-carrying ghost exchange must carry the rung
+protocol's current-best hydro exactly as the one-hop slab exchange does.
+
+1. A 2x2-pencil Sedov blast under ``prungs.make_chunk_rungs`` must
+   reproduce the single-chip ``rungs.simulate_rungs`` trajectory to f64
+   summation-order noise — same global tick schedule (pmin over BOTH mesh
+   axes), same rung assignments, same physics.
+2. B=1 degenerates exactly to the pencil global-dt chunk
+   (``pencil.make_chunk``).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sphax
+from sphax.dist import pencil, prungs
+from sphax.integrate import rungs
+from tests.dist.test_rungs_dist import _compare, _setup
+
+
+def _dist_setup(st, dom, ns0, ns1):
+    mesh = pencil.make_mesh(ns0, ns1)
+    spec = pencil.plan(dom, st.n, h_max=float(st.h.max()) * 1.1,
+                       ns0=ns0, ns1=ns1, cutoff_scale=1.05)
+    cuts0 = jnp.asarray(pencil.equal_cuts(spec.ncell0, ns0))
+    cuts1 = jnp.asarray(pencil.equal_cuts(spec.ncell1, ns1))
+    sh = pencil.distribute(st, dom, mesh, spec, np.asarray(cuts0),
+                           np.asarray(cuts1))
+    mr, gdrop = pencil.make_max_run(mesh, spec)(sh, cuts0, cuts1, dom)
+    assert int(gdrop) == 0
+    return mesh, pencil.refine_wseg(spec, int(mr)), cuts0, cuts1, sh
+
+
+def test_pencil_rungs_matches_single_chip():
+    assert jax.device_count() >= 4, "conftest must provide fake devices"
+    cfg = dataclasses.replace(sphax.configs.SEDOV, newton_iters=2)
+    st, dom, spec1 = _setup(cfg)
+
+    n_rungs, nspans, rebuild = 3, 1, 2
+    ref, dts_1, nact_1, ovf, viol_1, _ = rungs.simulate_rungs(
+        st, cfg, dom, spec1, nspans=nspans, n_rungs=n_rungs,
+        rebuild_every=rebuild, use_pallas=False)
+    assert int(ovf) == 0
+    # the blast must actually spread rungs for this to test anything
+    assert np.asarray(nact_1).min() < st.n
+
+    mesh, spec, cuts0, cuts1, sh = _dist_setup(st, dom, ns0=2, ns1=2)
+    chunk = prungs.make_chunk_rungs(mesh, cfg, spec, nspans=nspans,
+                                    n_rungs=n_rungs, rebuild_every=rebuild,
+                                    use_pallas=False)
+    sh, dts_2, nact_2, health, viol_2 = chunk(sh, cuts0, cuts1, dom)
+    assert int(health[0]) == 0 and int(health[1]) == 0
+    np.testing.assert_allclose(np.asarray(dts_2), np.asarray(dts_1),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(nact_2), np.asarray(nact_1))
+    assert int(viol_2) == int(viol_1)
+
+    _compare(pencil.gather_real(sh), ref, dom)
+
+
+def test_pencil_rungs_b1_matches_global_chunk():
+    assert jax.device_count() >= 4, "conftest must provide fake devices"
+    cfg = dataclasses.replace(sphax.configs.SEDOV, newton_iters=2,
+                              balsara=True)
+    st, dom, _ = _setup(cfg, n_side=12)
+
+    mesh, spec, cuts0, cuts1, sh = _dist_setup(st, dom, ns0=2, ns1=2)
+    chunk_g = pencil.make_chunk(mesh, cfg, spec, nsteps=2, rebuild_every=1,
+                                use_pallas=False)
+    sh_g, dts_g, health_g = chunk_g(sh, cuts0, cuts1, dom)
+    assert int(health_g[0]) == 0 and int(health_g[1]) == 0
+
+    chunk_r = prungs.make_chunk_rungs(mesh, cfg, spec, nspans=2, n_rungs=1,
+                                      rebuild_every=1, use_pallas=False)
+    sh_r, dts_r, nact, health_r, viol = chunk_r(sh, cuts0, cuts1, dom)
+    assert int(health_r[0]) == 0 and int(health_r[1]) == 0
+    assert int(viol) == 0
+    np.testing.assert_allclose(np.asarray(dts_r), np.asarray(dts_g),
+                               rtol=1e-12)
+    assert np.all(np.asarray(nact) == st.n)
+    _compare(pencil.gather_real(sh_r), pencil.gather_real(sh_g), dom,
+             rtol=1e-9)
