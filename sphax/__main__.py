@@ -252,12 +252,10 @@ def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
 
     dr = drive if prob.drive_spec is not None else None
     if is_pencil:
-        if n_rungs > 1:
-            raise SystemExit("rungs>1 is wired for shards=N (wslab); the "
-                             "pencil twin is not implemented — use 1D slabs")
         run = PencilRun(state, prob.cfg, prob.domain, shards[0], shards[1],
                         chunk_steps=chunk, rebuild_every=rebuild_every,
-                        drive=dr, drive_spec=prob.drive_spec)
+                        drive=dr, drive_spec=prob.drive_spec,
+                        n_rungs=n_rungs)
     else:
         run = SlabRun(state, prob.cfg, prob.domain, shards,
                       chunk_steps=chunk, rebuild_every=rebuild_every,

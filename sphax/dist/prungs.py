@@ -128,6 +128,9 @@ def _visc_factor_seed(st: ParticleState, cuts0, cuts1, domain: Domain,
     carry — the pencil twin of wrungs._visc_factor_seed."""
     if not cfg.visc_factor_on:
         return jnp.ones_like(st.h)
+    # the seed's dropped-ghost count is intentionally discarded: the first
+    # in-chunk rebuild runs on identical state/cuts and reports the same
+    # drop via the health carry, aborting the chunk (wrungs pattern)
     nG = 2 * (spec.ghost_cap0 + spec.ghost_cap1)
     dim = st.dim
     dtype = st.pos.dtype
@@ -261,7 +264,7 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec,
             return (st, bf_prev, hmax), (dts.reshape(-1), nacts.reshape(-1),
                                          jnp.sum(viols))
 
-        zero = jnp.zeros((), jnp.int32)
+        zero = jax.lax.pcast(jnp.zeros((), jnp.int32), AXES, to="varying")
         (st, _, hmax), (dts, nacts, viol) = jax.lax.scan(
             span, (st, bf0, (zero, zero)), None, length=nspans)
         health = tuple(_psum2(hh) for hh in hmax)

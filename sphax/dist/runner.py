@@ -220,10 +220,18 @@ class PencilRun:
                 f"{int(gdrop)} ghosts dropped at setup; re-plan with a "
                 "larger ghost_safety")
         self.spec = pencil.refine_wseg(spec, int(mr))
-        self._chunk = pencil.make_chunk(self.mesh, cfg, self.spec,
-                                        chunk_steps,
-                                        rebuild_every=rebuild_every,
-                                        drive_spec=drive_spec)
+        if n_rungs > 1:
+            from sphax.dist import prungs
+
+            self._chunk = prungs.make_chunk_rungs(
+                self.mesh, cfg, self.spec,
+                nspans=chunk_steps // (1 << (n_rungs - 1)),
+                n_rungs=n_rungs, rebuild_every=rebuild_every)
+        else:
+            self._chunk = pencil.make_chunk(self.mesh, cfg, self.spec,
+                                            chunk_steps,
+                                            rebuild_every=rebuild_every,
+                                            drive_spec=drive_spec)
         self._migrate = pencil.make_migrate(self.mesh, self.spec)
         self._misplaced = pencil.make_misplaced(self.mesh, self.spec)
         self._hist = pencil.make_histograms(self.mesh, self.spec)
@@ -232,7 +240,19 @@ class PencilRun:
     def run_chunk(self) -> np.ndarray:
         """Advance ``chunk_steps`` steps; migrate to convergence; rebalance
         at cadence. Raises on any nonzero health counter."""
-        if self.drive_spec is not None:
+        if self.n_rungs > 1:
+            self.state, dts, nacts, health, viol = self._chunk(
+                self.state, self.cuts0, self.cuts1, self.domain)
+            nacts = np.asarray(nacts)
+            tot = int(nacts.sum())
+            self.last_active_frac = tot / (self._n_real * len(nacts))
+            self.last_dt_viol = int(viol)
+            if self.last_dt_viol > 0.25 * max(tot, 1):
+                raise RuntimeError(
+                    f"{self.last_dt_viol} dt-violating closings in a chunk "
+                    f"of {tot} active closings (> 25%); the rung span "
+                    "outruns the CFL condition — use fewer rungs")
+        elif self.drive_spec is not None:
             self.state, self.drive, dts, health = self._chunk(
                 self.state, self.cuts0, self.cuts1, self.domain, self.drive)
         else:
