@@ -97,6 +97,24 @@ def main_dist():
           f"dt violations {int(viol)}")
     print(f"dist speedup {w_g / w_r:.2f}x")
 
+    # drift-gated rebuilds, distributed twin (dist/wrungs.py
+    # adaptive_rebuild): the exchange+build bundle — the largest per-tick
+    # fixed cost in the dist split — runs only when the pmax'd drift gate
+    # fires
+    chunk_a = wrungs.make_chunk_rungs(mesh, cfg, spec, nspans=nspans,
+                                      n_rungs=n_rungs, use_pallas=True,
+                                      adaptive_rebuild=span)
+    (out_a), w_a = timed(lambda: chunk_a(sh, cuts, dom),
+                         f"dist rungs B={n_rungs} adaptive")
+    st_a, _, _, health_a, viol_a, nrb_a = out_a
+    assert int(health_a[0]) == 0 and int(health_a[1]) == 0
+    print(f"adaptive rebuilds {int(nrb_a)} (vs {nticks // 2} at cadence 2); "
+          f"dt violations {int(viol_a)}; "
+          f"speedup vs global {w_g / w_a:.2f}x, vs fixed {w_r / w_a:.2f}x")
+    np.testing.assert_allclose(
+        np.asarray(wslab.gather_real(st_a).rho),
+        np.asarray(wslab.gather_real(out_r[0]).rho), rtol=5e-4)
+
 
 def main():
     if "--dist" in sys.argv:

@@ -55,10 +55,13 @@ def main(argv=None):
     #                                           engine, no gravity/driving)
     # adaptive=K: drift-gated window rebuilds (max K ticks/steps of
     # staleness; 0 = fixed cadence). Same physics to roundoff — rebuilds
-    # stretch to the Verlet-skin limit instead of a worst-case cadence
-    # (BASELINE.md round-4 rows). Applies to whichever single-device
-    # window integrator runs: rungs>1 (simulate_rungs) or global-dt
-    # (wengine.simulate)
+    # stretch to the Verlet-skin limit instead of a worst-case cadence.
+    # Problem-dependent payoff (BASELINE.md round-5 rows: +29% on the
+    # Sedov B=4 rung path, -15% on the hot turbulence headline), so off
+    # by default. Applies to the single-device window integrators
+    # (wengine.simulate / simulate_rungs) and, distributed, to shards=N
+    # (wslab/wrungs: the gate is a pmax'd scalar so all shards rebuild
+    # together); the pencil twin keeps fixed cadence.
     adaptive = int(kv.pop("adaptive", 0))
 
     from sphax.diag import conservation
@@ -84,15 +87,15 @@ def main(argv=None):
           + (f" shards={shard_str}" if n_dev > 1 else ""))
 
     if n_dev > 1:
-        if adaptive:
+        if adaptive and isinstance(shards, tuple):
             raise SystemExit(
-                "adaptive is single-device for now: the distributed "
-                "rebuild is a collective (exchange + bundle build), so the "
-                "drift gate needs a pmax'd decision — run shards=1 or "
-                "fixed-cadence distributed rungs")
+                "adaptive is wired for shards=N (wslab/wrungs: the drift "
+                "gate is a pmax'd scalar); the pencil twin keeps fixed "
+                "cadence — use 1D slabs or drop adaptive=")
         return _main_dist(name, prob, state, drive, t, step, t_end, out,
                           shards, chunk, rebuild_every, metrics_every,
-                          snapshot_every, checkpoint_every, log, n_rungs)
+                          snapshot_every, checkpoint_every, log, n_rungs,
+                          adaptive)
 
     if n_rungs > 1:
         if prob.wspec is None or prob.cfg.gravity or \
@@ -229,7 +232,7 @@ def main(argv=None):
 
 def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
                chunk, rebuild_every, metrics_every, snapshot_every,
-               checkpoint_every, log, n_rungs=1):
+               checkpoint_every, log, n_rungs=1, adaptive=0):
     """Distributed production loop (SURVEY.md §3.2 ``dist.shard(...)``):
     ``shards=N`` drives the wslab slab decomposition, ``shards=AxB`` the 2D
     pencil decomposition, over an N- (A*B-) device mesh; chunked jitted
@@ -260,7 +263,7 @@ def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
         run = SlabRun(state, prob.cfg, prob.domain, shards,
                       chunk_steps=chunk, rebuild_every=rebuild_every,
                       drive=dr, drive_spec=prob.drive_spec,
-                      n_rungs=n_rungs)
+                      n_rungs=n_rungs, adaptive_rebuild=adaptive)
 
     def save_ckpt():
         checkpoint.save(os.path.join(out, "checkpoint.npz"), run.gather(),
@@ -278,6 +281,8 @@ def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
             extra = ({"dt_viol": run.last_dt_viol,
                       "active_frac": run.last_active_frac}
                      if n_rungs > 1 else {})
+            if adaptive:
+                extra["rebuilds"] = run.last_rebuilds
             rec = log.log_record(run.metrics(t), step, state.n, **extra)
             rmsg = (f" active_frac={run.last_active_frac:.2f}"
                     f" dt_viol={run.last_dt_viol}" if n_rungs > 1 else "")

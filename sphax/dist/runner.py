@@ -42,7 +42,9 @@ class SlabRun:
     def __init__(self, state: ParticleState, cfg: SPHConfig, domain: Domain,
                  n_shards: int, chunk_steps: int = 8, rebuild_every: int = 2,
                  drive=None, drive_spec=None, h_margin: float = 1.1,
-                 rebalance_every: int = 1, n_rungs: int = 1, **plan_kw):
+                 rebalance_every: int = 1, n_rungs: int = 1,
+                 adaptive_rebuild: int = 0,
+                 work_balance: Optional[bool] = None, **plan_kw):
         if n_rungs > 1:
             # distributed block timesteps (dist/wrungs.py): chunks are
             # whole spans of 2^{B-1} globally-synchronized base ticks
@@ -62,8 +64,10 @@ class SlabRun:
         self.rebalance_every = rebalance_every
         self.drive, self.drive_spec = drive, drive_spec
         self.n_rungs = n_rungs
+        self.adaptive_rebuild = adaptive_rebuild
         self.last_active_frac = 1.0
         self.last_dt_viol = 0
+        self.last_rebuilds = 0          # adaptive: builds taken last chunk
         self._n_real = state.n          # pre-distribute: all rows real
         self._nchunks = 0
 
@@ -93,15 +97,26 @@ class SlabRun:
             self._chunk = wrungs.make_chunk_rungs(
                 self.mesh, cfg, self.spec,
                 nspans=chunk_steps // (1 << (n_rungs - 1)),
-                n_rungs=n_rungs, rebuild_every=rebuild_every)
+                n_rungs=n_rungs, rebuild_every=rebuild_every,
+                adaptive_rebuild=adaptive_rebuild)
         else:
             self._chunk = wslab.make_chunk(self.mesh, cfg, self.spec,
                                            chunk_steps,
                                            rebuild_every=rebuild_every,
-                                           drive_spec=drive_spec)
+                                           drive_spec=drive_spec,
+                                           adaptive_rebuild=adaptive_rebuild)
         self._migrate = wslab.make_migrate(self.mesh, self.spec)
         self._misplaced = wslab.make_misplaced(self.mesh, self.spec)
-        self._hist = wslab.make_histogram(self.mesh, self.spec)
+        # with rungs, wall-clock is the worst shard's ACTIVE work, not its
+        # particle count — rebalance on the expected-work histogram
+        # (2^{-rung} per particle) unless told otherwise
+        self.work_balance = (n_rungs > 1 if work_balance is None
+                             else work_balance)
+        if self.work_balance:
+            self._hist = wslab.make_work_histogram(self.mesh, self.spec,
+                                                   cfg, max(n_rungs, 1))
+        else:
+            self._hist = wslab.make_histogram(self.mesh, self.spec)
         self._diag = wslab.make_diagnostics(self.mesh, self.spec, cfg)
 
     def run_chunk(self) -> np.ndarray:
@@ -109,8 +124,12 @@ class SlabRun:
         at cadence. Returns the dt sequence. Raises on any nonzero health
         counter (silent pair deletion is never tolerated)."""
         if self.n_rungs > 1:
-            self.state, dts, nacts, health, viol = self._chunk(
-                self.state, self.cuts, self.domain)
+            out = self._chunk(self.state, self.cuts, self.domain)
+            if self.adaptive_rebuild:
+                self.state, dts, nacts, health, viol, nrb = out
+                self.last_rebuilds = int(nrb)
+            else:
+                self.state, dts, nacts, health, viol = out
             nacts = np.asarray(nacts)
             tot = int(nacts.sum())
             self.last_active_frac = tot / (self._n_real * len(nacts))
@@ -121,11 +140,19 @@ class SlabRun:
                     f"of {tot} active closings (> 25%); the rung span "
                     "outruns the CFL condition — use fewer rungs")
         elif self.drive_spec is not None:
-            self.state, self.drive, dts, health = self._chunk(
-                self.state, self.cuts, self.domain, self.drive)
+            out = self._chunk(self.state, self.cuts, self.domain, self.drive)
+            if self.adaptive_rebuild:
+                self.state, self.drive, dts, health, nrb = out
+                self.last_rebuilds = int(nrb)
+            else:
+                self.state, self.drive, dts, health = out
         else:
-            self.state, dts, health = self._chunk(self.state, self.cuts,
-                                                  self.domain)
+            out = self._chunk(self.state, self.cuts, self.domain)
+            if self.adaptive_rebuild:
+                self.state, dts, health, nrb = out
+                self.last_rebuilds = int(nrb)
+            else:
+                self.state, dts, health = out
         if int(health[0]):
             raise RuntimeError(f"{int(health[0])} ghosts dropped in chunk; "
                                "re-plan with larger ghost capacity")

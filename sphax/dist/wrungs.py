@@ -174,7 +174,8 @@ def _visc_factor_seed(st: ParticleState, cuts, domain: Domain,
 
 def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
                      nspans: int, n_rungs: int = 4, rebuild_every: int = 2,
-                     use_pallas: Optional[bool] = None, tile_block: int = 16):
+                     use_pallas: Optional[bool] = None, tile_block: int = 16,
+                     adaptive_rebuild: int = 0, skin_safety: float = 0.8):
     """Jitted distributed block-timestep chunk: ``nspans`` spans of
     2^{n_rungs-1} globally-synchronized base ticks (see module docstring;
     same KDK/rung discipline as ``rungs.simulate_rungs``, same
@@ -185,6 +186,17 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
       nacts   [same]              psum'd closing-particle count per tick
       health  (ghost_dropped, structure_overflow) psum'd maxima
       dt_viol psum'd mid-span closings that wanted dt < dt_min
+
+    ``adaptive_rebuild > 0`` switches to DRIFT-GATED rebuilds (the
+    distributed twin of ``rungs.simulate_rungs(adaptive_rebuild=)``): the
+    exchange+build bundle runs only when the pmax'd drift since the last
+    build threatens the Verlet-skin contract, or after
+    ``adaptive_rebuild`` ticks of staleness. The gate scalar is pmax'd
+    over the mesh axis, so every shard takes the same ``lax.cond`` branch
+    and the ppermutes inside the rebuild stay aligned. Same physics to
+    roundoff (superset argument); ``rebuild_every`` is ignored and the
+    output gains a trailing ``n_rebuilds``:
+    (state, dts, nacts, health, dt_viol, n_rebuilds).
     """
     if cfg.gravity:
         raise NotImplementedError(
@@ -197,7 +209,7 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     span_ticks = 1 << (n_rungs - 1)
-    if span_ticks % rebuild_every:
+    if not adaptive_rebuild and span_ticks % rebuild_every:
         raise ValueError("rebuild_every must divide 2^(n_rungs-1)")
 
     def local_chunk(st: ParticleState, cuts, domain: Domain):
@@ -206,61 +218,77 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
         bf0 = _visc_factor_seed(st, cuts, domain, spec, cfg, tile_block,
                                 use_pallas)
 
-        def span(carry, _):
-            st, bf_prev, hmax = carry
-            # span sync: every (real) particle closed on the previous tick;
-            # padding rows are pinned to dt_max (>= any clamped real dt) so
-            # they live on the top rung and the pmin ignores them
+        def open_drift(st, rung, dt_min, k):
+            """Half-kick openers, drift everyone by dt_min (unwrapped)."""
+            dt_r = dt_min * jnp.exp2(rung.astype(dtype))
+            period_mask = (1 << rung) - 1          # k % 2^r == k & mask
+            open_m = (k & period_mask) == 0
+            half = jnp.where(open_m, 0.5 * dt_r, 0.0)
+            vel = st.vel + half[:, None] * st.acc
+            u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+            return (st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u),
+                    dt_r, period_mask)
+
+        def close_tick(st, bf_prev, rung, wd, routes, slab_lo, k, dt_min,
+                       dt_r, period_mask):
+            """Derived pass on closers' tiles, closing half-kick, rung
+            update + the dt-violation counter (local here; psum'd once at
+            chunk end so ticks cost no extra collectives)."""
+            close_m = (((k + 1) & period_mask) == 0) & real
+            st, bf_now = _local_derived_rungs(
+                st, bf_prev, wd, routes, slab_lo, cfg, domain, spec,
+                close_m, tile_block, use_pallas)
+            half = jnp.where(close_m, 0.5 * dt_r, 0.0)
+            vel = st.vel + half[:, None] * st.acc
+            u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
+            st = st._replace(vel=vel, u=u)
+            if cfg.mm_visc:
+                from sphax.physics import pairs
+
+                a_new = pairs.mm_alpha_update(st.alpha, st.divv, st.h,
+                                              st.cs, dt_r, cfg)
+                st = st._replace(alpha=jnp.where(close_m, a_new,
+                                                 st.alpha))
+
+            # rung update on closers (Hernquist-Katz alignment)
+            dt_des = jnp.where(real, particle_dt(st, cfg), cfg.dt_max)
+            mid = (k + 1) < span_ticks
+            viol = jnp.sum(
+                (close_m & (dt_des < dt_min)).astype(jnp.int32)
+                ) * mid.astype(jnp.int32)
+            r_des = jnp.clip(
+                jnp.floor(jnp.log2(jnp.maximum(dt_des / dt_min, 1.0))),
+                0, n_rungs - 1).astype(jnp.int32)
+            kp = k + 1
+            align = sum(((kp & ((1 << j) - 1)) == 0).astype(jnp.int32)
+                        for j in range(1, n_rungs))
+            r_new = jnp.where(r_des < rung, r_des,
+                              jnp.minimum(r_des, align))
+            rung = jnp.where(close_m, r_new, rung)
+            nact = jnp.sum(close_m.astype(jnp.int32))
+            return st, bf_now, rung, nact, viol
+
+        def start_rungs(st):
+            """Span sync: every (real) particle closed on the previous
+            tick; padding rows are pinned to dt_max (>= any clamped real
+            dt) so they live on the top rung and the pmin ignores them."""
             dt_des0 = jnp.where(real, particle_dt(st, cfg), cfg.dt_max)
             dt_min = jax.lax.pmin(jnp.min(dt_des0), AXIS)
             rung0 = jnp.clip(
                 jnp.floor(jnp.log2(jnp.maximum(dt_des0 / dt_min, 1.0))),
                 0, n_rungs - 1).astype(jnp.int32)
+            return dt_min, rung0
+
+        def span(carry, _):
+            st, bf_prev, hmax = carry
+            dt_min, rung0 = start_rungs(st)
 
             def tick(carry_t, k):
                 st, bf_prev, rung, wd, routes, slab_lo = carry_t
-                dt_r = dt_min * jnp.exp2(rung.astype(dtype))
-                period_mask = (1 << rung) - 1      # k % 2^r == k & mask
-                open_m = (k & period_mask) == 0
-                half = jnp.where(open_m, 0.5 * dt_r, 0.0)
-                vel = st.vel + half[:, None] * st.acc
-                u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
-                st = st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u)
-
-                close_m = (((k + 1) & period_mask) == 0) & real
-                st, bf_now = _local_derived_rungs(
-                    st, bf_prev, wd, routes, slab_lo, cfg, domain, spec,
-                    close_m, tile_block, use_pallas)
-                half = jnp.where(close_m, 0.5 * dt_r, 0.0)
-                vel = st.vel + half[:, None] * st.acc
-                u = jnp.maximum(st.u + half * st.du_dt, cfg.u_floor)
-                st = st._replace(vel=vel, u=u)
-                if cfg.mm_visc:
-                    from sphax.physics import pairs
-
-                    a_new = pairs.mm_alpha_update(st.alpha, st.divv, st.h,
-                                                  st.cs, dt_r, cfg)
-                    st = st._replace(alpha=jnp.where(close_m, a_new,
-                                                     st.alpha))
-
-                # rung update on closers (Hernquist-Katz alignment), plus
-                # the dt-violation health counter (local here; psum'd once
-                # at chunk end so ticks cost no extra collectives)
-                dt_des = jnp.where(real, particle_dt(st, cfg), cfg.dt_max)
-                mid = (k + 1) < span_ticks
-                viol = jnp.sum(
-                    (close_m & (dt_des < dt_min)).astype(jnp.int32)
-                    ) * mid.astype(jnp.int32)
-                r_des = jnp.clip(
-                    jnp.floor(jnp.log2(jnp.maximum(dt_des / dt_min, 1.0))),
-                    0, n_rungs - 1).astype(jnp.int32)
-                kp = k + 1
-                align = sum(((kp & ((1 << j) - 1)) == 0).astype(jnp.int32)
-                            for j in range(1, n_rungs))
-                r_new = jnp.where(r_des < rung, r_des,
-                                  jnp.minimum(r_des, align))
-                rung = jnp.where(close_m, r_new, rung)
-                nact = jnp.sum(close_m.astype(jnp.int32))
+                st, dt_r, pm = open_drift(st, rung, dt_min, k)
+                st, bf_now, rung, nact, viol = close_tick(
+                    st, bf_prev, rung, wd, routes, slab_lo, k, dt_min,
+                    dt_r, pm)
                 return (st, bf_now, rung, wd, routes, slab_lo), (
                     dt_min, nact, viol)
 
@@ -286,7 +314,78 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
             return (st, bf_prev, hmax), (dts.reshape(-1), nacts.reshape(-1),
                                          jnp.sum(viols))
 
+        def span_a(carry, _):
+            # drift-gated variant: flat tick scan; gate AFTER the drift,
+            # rebuild (wrap + exchange + build, all-shards-aligned via the
+            # pmax'd gate scalar) right before the derived pass
+            st, bf_prev, wd, routes, slab_lo, ref, since, hmax = carry
+            dt_min, rung0 = start_rungs(st)
+
+            def tick(carry_t, k):
+                (st, bf_prev, rung, wd, routes, slab_lo, ref, since,
+                 hmax) = carry_t
+                st, dt_r, pm = open_drift(st, rung, dt_min, k)
+                disp = st.pos - ref
+                maxd2 = jax.lax.pmax(
+                    jnp.max(jnp.where(real,
+                                      jnp.sum(disp * disp, axis=-1),
+                                      0.0)), AXIS)
+                hmx = jax.lax.pmax(jnp.max(jnp.where(real, st.h, 0.0)),
+                                   AXIS)
+                slack = jnp.maximum(
+                    jnp.asarray(spec.wspec.cutoff, dtype) - 2.0 * hmx, 0.0)
+                need = ((4.0 * maxd2 >= (skin_safety * slack) ** 2)
+                        | (since + 1 >= adaptive_rebuild))
+
+                def rb(s):
+                    sw = s._replace(pos=_wrap_transverse(s.pos, domain,
+                                                         spec.slab_axis))
+                    wdn, rtn, sln, dropped = _exchange_and_build(
+                        sw, cuts, domain, spec)
+                    return (sw, wdn, rtn, sln, sw.pos,
+                            jnp.zeros((), jnp.int32),
+                            (jnp.asarray(dropped, jnp.int32),
+                             wdn.overflow.astype(jnp.int32)))
+
+                def keep(s):
+                    z = jnp.zeros((), jnp.int32)
+                    return s, wd, routes, slab_lo, ref, since + 1, (z, z)
+
+                st, wd, routes, slab_lo, ref, since, health = jax.lax.cond(
+                    need, rb, keep, st)
+                hmax = tuple(jnp.maximum(a, b)
+                             for a, b in zip(hmax, health))
+                st, bf_now, rung, nact, viol = close_tick(
+                    st, bf_prev, rung, wd, routes, slab_lo, k, dt_min,
+                    dt_r, pm)
+                return (st, bf_now, rung, wd, routes, slab_lo, ref, since,
+                        hmax), (dt_min, nact, viol,
+                                need.astype(jnp.int32))
+
+            (st, bf_prev, _, wd, routes, slab_lo, ref, since, hmax), (
+                dts, nacts, viols, rbs) = jax.lax.scan(
+                    tick, (st, bf_prev, rung0, wd, routes, slab_lo, ref,
+                           since, hmax),
+                    jnp.arange(span_ticks, dtype=jnp.int32))
+            return (st, bf_prev, wd, routes, slab_lo, ref, since, hmax), (
+                dts, nacts, jnp.sum(viols), jnp.sum(rbs))
+
         zero = jax.lax.pcast(jnp.zeros((), jnp.int32), AXIS, to="varying")
+        if adaptive_rebuild:
+            st = st._replace(pos=_wrap_transverse(st.pos, domain,
+                                                  spec.slab_axis))
+            wd0, routes0, slab_lo0, dropped0 = _exchange_and_build(
+                st, cuts, domain, spec)
+            h0 = (jnp.maximum(jnp.asarray(dropped0, jnp.int32), zero),
+                  jnp.maximum(wd0.overflow.astype(jnp.int32), zero))
+            (st, _, _, _, _, _, _, hmax), (dts, nacts, viol, rbs) = \
+                jax.lax.scan(span_a, (st, bf0, wd0, routes0, slab_lo0,
+                                      st.pos, zero, h0),
+                             None, length=nspans)
+            health = tuple(jax.lax.psum(hh, AXIS) for hh in hmax)
+            nacts = jax.lax.psum(nacts.reshape(-1), AXIS)
+            return (st, dts.reshape(-1), nacts, health,
+                    jax.lax.psum(jnp.sum(viol), AXIS), jnp.sum(rbs) + 1)
         (st, _, hmax), (dts, nacts, viol) = jax.lax.scan(
             span, (st, bf0, (zero, zero)), None, length=nspans)
         health = tuple(jax.lax.psum(hh, AXIS) for hh in hmax)
@@ -294,8 +393,10 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: WSlabSpec,
         return st, dts.reshape(-1), nacts, health, \
             jax.lax.psum(jnp.sum(viol), AXIS)
 
+    out_sp = ((P(AXIS), P(), P(), (P(), P()), P(), P()) if adaptive_rebuild
+              else (P(AXIS), P(), P(), (P(), P()), P()))
     sm = jax.shard_map(local_chunk, mesh=mesh,
                        in_specs=(P(AXIS), P(), P()),
-                       out_specs=(P(AXIS), P(), P(), (P(), P()), P()),
+                       out_specs=out_sp,
                        check_vma=False)  # pallas out_shapes have no vma
     return jax.jit(sm)

@@ -20,11 +20,13 @@ def _cubic_f(q):
 
 def build(n_side: int = 20, E: float = 1.0, rho0: float = 1.0,
           u_bg: float = 1e-6, eta: float = 1.3, r_inj_cells: float = 2.0,
-          dtype=np.float64):
+          dtype=np.float64, centre=(0.5, 0.5, 0.5)):
     """Return dict(pos, vel, mass, u, h, box, E, rho0).
 
     r_inj_cells: injection radius in units of the lattice spacing.
     Injection is energy-conserving: sum(m_i * du_i) == E exactly.
+    ``centre``: blast location — an OFF-center blast is the load-balance
+    stress case (all low-rung work lands in one slab of a decomposition).
     """
     pos = cubic_lattice((n_side,) * 3, [0, 0, 0], [1, 1, 1], dtype)
     n = len(pos)
@@ -32,7 +34,7 @@ def build(n_side: int = 20, E: float = 1.0, rho0: float = 1.0,
     mass = np.full(n, rho0 / n, dtype)  # box volume = 1
     h = np.full(n, eta * d, dtype)
 
-    centre = np.array([0.5, 0.5, 0.5], dtype)
+    centre = np.asarray(centre, dtype)
     r = np.sqrt(np.sum((pos - centre) ** 2, axis=-1))
     r_inj = r_inj_cells * d
     w = _cubic_f(2.0 * r / r_inj)
