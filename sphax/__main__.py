@@ -63,6 +63,10 @@ def main(argv=None):
     # (wslab/wrungs: the gate is a pmax'd scalar so all shards rebuild
     # together); the pencil twin keeps fixed cadence.
     adaptive = int(kv.pop("adaptive", 0))
+    # max_steps=K: stop after K steps even if t_end is not reached (0 = off).
+    # Production soaks and benchmarks bound work in steps, not simulated
+    # time, since dt is problem-dependent.
+    max_steps = int(kv.pop("max_steps", 0))
 
     from sphax.diag import conservation
     from sphax.io import checkpoint, metrics
@@ -95,7 +99,7 @@ def main(argv=None):
         return _main_dist(name, prob, state, drive, t, step, t_end, out,
                           shards, chunk, rebuild_every, metrics_every,
                           snapshot_every, checkpoint_every, log, n_rungs,
-                          adaptive)
+                          adaptive, max_steps)
 
     if n_rungs > 1:
         if prob.wspec is None or prob.cfg.gravity or \
@@ -155,7 +159,7 @@ def main(argv=None):
 
     nchunks = 0
     import numpy as np
-    while t < t_end:
+    while t < t_end and not (max_steps and step >= max_steps):
         state, drive, dts, ovf = run_chunk(state, drive)
         t += float(np.sum(np.asarray(dts)))
         step += len(dts)
@@ -232,7 +236,7 @@ def main(argv=None):
 
 def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
                chunk, rebuild_every, metrics_every, snapshot_every,
-               checkpoint_every, log, n_rungs=1, adaptive=0):
+               checkpoint_every, log, n_rungs=1, adaptive=0, max_steps=0):
     """Distributed production loop (SURVEY.md §3.2 ``dist.shard(...)``):
     ``shards=N`` drives the wslab slab decomposition, ``shards=AxB`` the 2D
     pencil decomposition, over an N- (A*B-) device mesh; chunked jitted
@@ -272,7 +276,7 @@ def _main_dist(name, prob, state, drive, t, step, t_end, out, shards,
                         extra={"shards": shard_str})
 
     nchunks = 0
-    while t < t_end:
+    while t < t_end and not (max_steps and step >= max_steps):
         dts = run.run_chunk()
         t += float(np.sum(dts))
         step += len(dts)

@@ -172,10 +172,6 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec,
         raise NotImplementedError(
             "block timesteps + self-gravity: the PM/direct mesh stage is a "
             "global solve with no tile skipping to exploit — run global-dt")
-    if cfg.h_predict:
-        raise NotImplementedError(
-            "h_predict assumes every particle's divv/h advance each step; "
-            "rung ticks close subsets — run global-dt or h_predict=False")
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     span_ticks = 1 << (n_rungs - 1)
@@ -208,6 +204,14 @@ def make_chunk_rungs(mesh: Mesh, cfg: SPHConfig, spec: PencilSpec,
                 st = st._replace(pos=st.pos + dt_min * vel, vel=vel, u=u)
 
                 close_m = (((k + 1) & period_mask) == 0) & real
+                if cfg.h_predict and cfg.adaptive_h:
+                    # per-closer continuity predictor (integrate/rungs.py
+                    # close_tick); local rows only — ghost closers are
+                    # re-predicted by their owners (phase-2 current-best)
+                    fac = jnp.clip(1.0 + (dt_r / cfg.dim) * st.divv,
+                                   0.9, 1.1)
+                    st = st._replace(h=jnp.where(close_m, st.h * fac,
+                                                 st.h))
                 st, bf_now = _local_derived_rungs(
                     st, bf_prev, wd, routes, lo0, lo1, cfg, domain, spec,
                     close_m, tile_block, use_pallas)

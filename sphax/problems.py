@@ -38,6 +38,30 @@ def _f(ic, k, dtype):
     return jnp.asarray(ic[k], dtype)
 
 
+_CFG_FIELDS = {f.name: f.type for f in dataclasses.fields(SPHConfig)}
+
+
+def _cfg_kw(cfg: SPHConfig, kw: dict) -> SPHConfig:
+    """Apply leftover CLI ``key=value`` pairs as SPHConfig overrides.
+
+    SURVEY §5's config contract: every config field is overridable from
+    the CLI (``python -m sphax sedov cfl=0.2 h_predict=1``). Unknown keys
+    raise instead of being silently swallowed (a typo'd knob must not
+    silently run the default physics). Bool fields accept the CLI's
+    int-parsed 0/1.
+    """
+    if not kw:
+        return cfg
+    bad = sorted(set(kw) - set(_CFG_FIELDS))
+    if bad:
+        raise SystemExit(
+            f"unknown option(s) {bad}; valid config overrides: "
+            f"{sorted(_CFG_FIELDS)}")
+    conv = {k: (bool(v) if "bool" in str(_CFG_FIELDS[k]) else v)
+            for k, v in kw.items()}
+    return dataclasses.replace(cfg, **conv)
+
+
 def _window_engine(st, cfg, dom, h_margin=1.3, cutoff_scale=1.25):
     spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * h_margin,
                              dim=cfg.dim, cutoff_scale=cutoff_scale)
@@ -73,7 +97,8 @@ def _auto_engine(st, cfg, dom, h_margin=1.3, cutoff_scale=1.25):
 def sod(n: int = 32, dtype=jnp.float32, **kw) -> Problem:
     from sphax.ics import sod as ics
     ic = ics.build(nx_left=int(n), n_trans=max(4, int(n) // 4))
-    cfg = SPHConfig(dim=3, gamma=1.4, adaptive_h=True, newton_iters=6)
+    cfg = _cfg_kw(SPHConfig(dim=3, gamma=1.4, adaptive_h=True,
+                            newton_iters=6), kw)
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
@@ -91,6 +116,7 @@ def sedov(n: int = 20, visc: str = "balsara", dtype=jnp.float32,
     if visc == "mm":
         cfg = dataclasses.replace(cfg, balsara=False, mm_visc=True,
                                   alpha_visc=1.0, beta_visc=2.0)
+    cfg = _cfg_kw(cfg, kw)
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")),
@@ -103,7 +129,7 @@ def sedov(n: int = 20, visc: str = "balsara", dtype=jnp.float32,
 def kh(n: int = 64, dtype=jnp.float32, **kw) -> Problem:
     from sphax.ics import kh as ics
     ic = ics.build(nx=int(n))
-    cfg = sphax.configs.KH
+    cfg = _cfg_kw(sphax.configs.KH, kw)
     dom = sphax.box(jnp.zeros(2, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))
@@ -122,6 +148,7 @@ def evrard(n: int = 4096, solver: str = "direct", mesh: int = 64,
     if solver == "p3m":
         cfg = dataclasses.replace(cfg, grav_solver="p3m",
                                   grav_mesh=int(mesh))
+    cfg = _cfg_kw(cfg, kw)
     dom = sphax.Domain(lo=_f(ic, "lo", dtype), hi=_f(ic, "hi", dtype),
                        periodic=False)
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
@@ -138,7 +165,8 @@ def turb(n: int = 48, accel_rms: float = 3.0, tau: float = 0.5, seed: int = 1,
          dtype=jnp.float32, **kw) -> Problem:
     from sphax.ics import turbulence as ics
     ic = ics.build(n_side=int(n))
-    cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
+    cfg = _cfg_kw(dataclasses.replace(sphax.configs.TURB, newton_iters=2),
+                  kw)
     dom = sphax.box(jnp.zeros(3, dtype), _f(ic, "box", dtype))
     st = sphax.make_state(*(_f(ic, k, dtype) for k in
                             ("pos", "vel", "mass", "u", "h")))

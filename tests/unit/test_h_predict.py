@@ -16,8 +16,10 @@ allowed to do:
    (round-3 advisor: the drift predictor can push h past it);
 4. trash/pad rows stay inert (round-3 advisor: the lagged correction was
    driving zero-mass rows to h = 0.5);
-5. the config combination is validated (requires adaptive_h + need_divv)
-   and the rung integrator refuses it (rungs.py scoped refusal).
+5. the config combination is validated (requires adaptive_h + need_divv);
+6. the block-timestep composition (per-closer predictor, rungs.close_tick)
+   degenerates exactly to the global-dt predictor at B=1 and tracks the
+   full-Newton rung run at B>1 (round-4 judge Next #7).
 """
 import dataclasses
 
@@ -141,10 +143,61 @@ def test_h_predict_config_validation():
     dataclasses.replace(sphax.configs.TURB, h_predict=True)
 
 
-def test_h_predict_rungs_guard():
-    """Block timesteps refuse h_predict (rung ticks close subsets; the
-    predictor assumes every particle's divv/h advance each step)."""
+def test_h_predict_rungs_b1_matches_global_dt():
+    """B=1 rungs + h_predict must degenerate EXACTLY to the global-dt
+    predictor path: the per-closer predictor (rungs.close_tick) fires for
+    every particle every tick with dt_r = dt_min, in the same position of
+    the KDK sequence as leapfrog.step's (after drift, before the derived
+    pass). Round-4 judge Next #7: the composition replaces the old scoped
+    refusal."""
     st, dom, spec = _setup(PRED)
-    with pytest.raises(NotImplementedError, match="h_predict"):
-        rungs.simulate_rungs(st, PRED, dom, spec, nspans=1, n_rungs=2,
-                             rebuild_every=1, use_pallas=False)
+    nsteps = 4
+    st_g, _, dts_g, ovf_g = wengine.simulate(
+        st, PRED, dom, spec, nsteps, rebuild_every=1, use_pallas=False)
+    st_r, dts_r, nact, ovf_r, viol, _ = rungs.simulate_rungs(
+        st, PRED, dom, spec, nspans=nsteps, n_rungs=1, rebuild_every=1,
+        use_pallas=False)
+    assert int(ovf_g) == 0 and int(ovf_r) == 0 and int(viol) == 0
+    np.testing.assert_allclose(np.asarray(dts_r), np.asarray(dts_g),
+                               rtol=1e-12)
+    for f in ("pos", "vel", "u", "rho", "h", "P"):
+        np.testing.assert_allclose(np.asarray(getattr(st_r, f)),
+                                   np.asarray(getattr(st_g, f)),
+                                   rtol=1e-9, atol=1e-12, err_msg=f)
+
+
+@pytest.mark.slow  # x64 blast run; the on-chip measurement is the
+# HPRED=1 knob of benchmarks/bench_rungs.py (BASELINE.md round-5 row)
+def test_h_predict_rungs_multirung_tracks_full_newton():
+    """Multi-rung composition: per-closer predicted h must track the
+    full-Newton rung run in the documented h_predict residual family.
+    Each closer's divv is fresh at its own close (one particle-step
+    stale — identical staleness to the global-dt predictor), so the drift
+    bound should match the single-rate lockstep gate above."""
+    from sphax.ics import sedov
+
+    base = dataclasses.replace(sphax.configs.SEDOV, newton_iters=6)
+    pred = dataclasses.replace(base, h_predict=True, newton_iters=1)
+    ic = sedov.build(n_side=10, E=1.0)
+    dom = sphax.box(jnp.zeros(3), jnp.asarray(ic["box"]))
+    st = sphax.make_state(*(jnp.asarray(ic[k]) for k in
+                            ("pos", "vel", "mass", "u", "h")))
+    spec = win.plan_measured(st.pos, dom, h_max=float(st.h.max()) * 1.3,
+                             dim=3, cutoff_scale=1.25)
+    st = wengine.update_derived(st, base, dom, spec, use_pallas=False)
+
+    st_n, _, nact_n, ovf_n, viol_n, _ = rungs.simulate_rungs(
+        st, base, dom, spec, nspans=2, n_rungs=3, rebuild_every=2,
+        use_pallas=False)
+    st_p, _, nact_p, ovf_p, viol_p, _ = rungs.simulate_rungs(
+        st, pred, dom, spec, nspans=2, n_rungs=3, rebuild_every=2,
+        use_pallas=False)
+    assert int(ovf_n) == 0 and int(ovf_p) == 0
+    # the blast must actually spread rungs (otherwise this tests nothing)
+    assert np.asarray(nact_n).sum() < 0.9 * st.n * len(np.asarray(nact_n))
+    h_n, h_p = np.asarray(st_n.h), np.asarray(st_p.h)
+    dh = np.max(np.abs(h_p - h_n) / h_n)
+    assert dh < 3e-3, f"h drift vs full-Newton rungs: {dh}"
+    drho = np.max(np.abs(np.asarray(st_p.rho) - np.asarray(st_n.rho))
+                  / np.asarray(st_n.rho))
+    assert drho < 1e-2, f"rho drift vs full-Newton rungs: {drho}"
