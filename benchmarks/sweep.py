@@ -126,10 +126,12 @@ def rungs_speedup(n_side: int = 100, n_rungs: int = 4,
                   nspans: int = 2) -> tuple:
     """Block-timestep speedups on the Sedov blast (benchmarks/bench_rungs.py
     inline): equal base-tick counts, wall ratio = true speedup. Returns
-    (fixed_cadence_vs_global, adaptive_vs_global) — the second axis pins
+    (fixed_vs_global, adaptive_vs_global, hpred_adaptive_vs_global) —
+    the second axis pins
     the drift-gated rebuild path (a regression that made the gate fire
     every tick would pass the fixed-cadence axis while silently erasing
-    the adaptive win; round-4 judge weak #3)."""
+    the adaptive win; round-4 judge weak #3), and the third the
+    h_predict+adaptive composite (the round-5 production blast path)."""
     import jax
     import jax.numpy as jnp
 
@@ -174,10 +176,17 @@ def rungs_speedup(n_side: int = 100, n_rungs: int = 4,
         lambda s: rungs.simulate_rungs(s, cfg, dom, spec, nspans,
                                        n_rungs=n_rungs, use_pallas=True,
                                        adaptive_rebuild=span))
-    assert int(ovf_g) == 0 and int(ovf_r) == 0 and int(ovf_a) == 0
+    cfg_p = dataclasses.replace(cfg, h_predict=True, newton_iters=1)
+    (st_p, _, _, ovf_p, _, _), w_p = timed(
+        lambda s: rungs.simulate_rungs(s, cfg_p, dom, spec, nspans,
+                                       n_rungs=n_rungs, use_pallas=True,
+                                       adaptive_rebuild=span))
+    assert int(ovf_g) == 0 and int(ovf_r) == 0 and int(ovf_a) == 0 \
+        and int(ovf_p) == 0
     assert bool(jnp.isfinite(st_g.rho).all() & jnp.isfinite(st_r.rho).all()
-                & jnp.isfinite(st_a.rho).all())
-    return w_g / w_r, w_g / w_a
+                & jnp.isfinite(st_a.rho).all()
+                & jnp.isfinite(st_p.rho).all())
+    return w_g / w_r, w_g / w_a, w_g / w_p
 
 
 def gate() -> int:
@@ -214,13 +223,19 @@ def gate() -> int:
         base = results.get(100) or bench_one(100)["particle_steps_per_sec"]
         check("wslab_step_ratio_max", wslab_ratio(100, base),
               floors["wslab_step_ratio_max"], higher_is_better=False)
-    if "rungs_b4_min" in floors or "rungs_b4_adaptive_min" in floors:
-        fixed, adaptive = rungs_speedup()
+    if any(k.startswith("rungs_b4") for k in floors):
+        fixed, adaptive, hpred_a = rungs_speedup()
         if "rungs_b4_min" in floors:
             check("rungs_b4_min", fixed, floors["rungs_b4_min"])
         if "rungs_b4_adaptive_min" in floors:
             check("rungs_b4_adaptive_min", adaptive,
                   floors["rungs_b4_adaptive_min"])
+        if "rungs_b4_hpred_adaptive_min" in floors:
+            # the full composite (per-closer h_predict + drift-gated
+            # rebuilds) — the production blast path, measured 3.60x
+            # round 5; floor at ~0.85x measured
+            check("rungs_b4_hpred_adaptive_min", hpred_a,
+                  floors["rungs_b4_hpred_adaptive_min"])
     print("PERF GATE:", "PASS" if rc == 0 else "FAIL", flush=True)
     return rc
 
