@@ -38,7 +38,10 @@ _DEFAULT = ("balsara", "fixed_h")
 
 
 @pytest.mark.parametrize("name,rgroups", [
-    ("balsara", 2), ("fixed_h", 1),
+    # compaction is OFF by default (measured null, BASELINE.md round-4):
+    # one default parity gate; the rest ride the slow tier (round-5 diet)
+    ("fixed_h", 1),
+    pytest.param("balsara", 2, marks=pytest.mark.slow),
     pytest.param("gradh", 2, marks=pytest.mark.slow),
     pytest.param("dim2", 1, marks=pytest.mark.slow),
     pytest.param("balsara", 4, marks=pytest.mark.slow)])

@@ -25,7 +25,7 @@ def test_driven_turbulence():
     spec = DriveSpec(modes=modes, tau=0.5, accel_rms=2.0, box_size=1.0)
     drv = driving.init(jax.random.PRNGKey(3), np.asarray(modes))
 
-    st, drv, t, n = simulate_until(st, cfg, dom, engine, t_end=0.3, chunk=16,
+    st, drv, t, n = simulate_until(st, cfg, dom, engine, t_end=0.18, chunk=16,
                                    drive=drv, drive_spec=spec, max_steps=1000)
 
     rec = conservation.summary(st, cfg, t)

@@ -38,7 +38,7 @@ BASE = dataclasses.replace(sphax.configs.TURB, newton_iters=6)
 PRED = dataclasses.replace(BASE, h_predict=True, newton_iters=1)
 
 
-def _setup(cfg, n_side=12, vel_seed=0, cutoff_scale=1.25):
+def _setup(cfg, n_side=10, vel_seed=0, cutoff_scale=1.25):
     ic = turbulence.build(n_side=n_side)
     dom = sphax.box(jnp.zeros(3), jnp.asarray(ic["box"]))
     st = sphax.make_state(*(jnp.asarray(ic[k]) for k in
@@ -56,7 +56,7 @@ def test_h_predict_lockstep_vs_full_newton():
     """h/rho trajectories must stay in the documented residual family of
     the full-Newton run over O(30) steps of driven-box dynamics."""
     st, dom, spec = _setup(BASE)
-    nsteps = 30
+    nsteps = 24
     st_n, _, dts_n, ovf_n = wengine.simulate(
         st, BASE, dom, spec, nsteps, rebuild_every=2, use_pallas=False)
     st_p, _, dts_p, ovf_p = wengine.simulate(

@@ -39,7 +39,7 @@ def test_rungs_b1_matches_global_dt():
     """n_rungs=1: every particle on rung 0, spans of one tick — the exact
     global-dt KDK sequence. Trajectories must agree to float roundoff."""
     cfg = dataclasses.replace(sphax.configs.TURB, newton_iters=2)
-    ic = turbulence.build(n_side=12)
+    ic = turbulence.build(n_side=10)
     st, dom, spec = _setup(ic, cfg, vel_seed=0)
 
     nsteps = 4
