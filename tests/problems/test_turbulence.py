@@ -12,7 +12,7 @@ from sphax.run import DriveSpec, simulate_until
 
 
 def test_driven_turbulence():
-    ic = turbulence.build(n_side=12)
+    ic = turbulence.build(n_side=10)
     cfg = sphax.configs.TURB
     dom = sphax.box(jnp.zeros(3), jnp.asarray(ic["box"]))
     st = sphax.make_state(*(jnp.asarray(ic[k]) for k in

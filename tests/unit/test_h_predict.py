@@ -52,6 +52,10 @@ def _setup(cfg, n_side=10, vel_seed=0, cutoff_scale=1.25):
     return st, dom, spec
 
 
+@pytest.mark.slow  # redundant depth: h_predict keeps FOUR default
+# gates (B=1 exactness, cap clamp, trash-row inertness, config
+# validation here; Mosaic lockstep + Sod L1 on-chip in tpu_tests) — this
+# x64 drift-band run is the deep version of the same contract
 def test_h_predict_lockstep_vs_full_newton():
     """h/rho trajectories must stay in the documented residual family of
     the full-Newton run over O(30) steps of driven-box dynamics."""

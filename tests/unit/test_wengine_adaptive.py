@@ -24,7 +24,7 @@ from sphax.neighbors import window as win
 from sphax.physics import driving, wengine
 
 
-def _setup(cfg, n_side=12, vel_seed=0):
+def _setup(cfg, n_side=10, vel_seed=0):
     ic = turbulence.build(n_side=n_side)
     dom = sphax.box(jnp.zeros(3), jnp.asarray(ic["box"]))
     st = sphax.make_state(*(jnp.asarray(ic[k]) for k in
