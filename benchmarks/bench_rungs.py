@@ -115,6 +115,25 @@ def main_dist():
         np.asarray(wslab.gather_real(st_a).rho),
         np.asarray(wslab.gather_real(out_r[0]).rho), rtol=5e-4)
 
+    if os.environ.get("HPRED"):
+        # distributed composite: per-closer h_predict + drift-gated
+        # rebuilds over the wslab rung chunk (the dist twins of the
+        # single-chip composite measured in main())
+        cfg_p = dataclasses.replace(cfg, h_predict=True, newton_iters=1)
+        chunk_p = wrungs.make_chunk_rungs(mesh, cfg_p, spec, nspans=nspans,
+                                          n_rungs=n_rungs, use_pallas=True,
+                                          adaptive_rebuild=span)
+        (out_p), w_p = timed(lambda: chunk_p(sh, cuts, dom),
+                             f"dist rungs B={n_rungs} h_predict+adaptive")
+        st_p = out_p[0]
+        assert int(out_p[3][0]) == 0 and int(out_p[3][1]) == 0
+        drho = float(np.max(np.abs(
+            np.asarray(wslab.gather_real(st_p).rho)
+            - np.asarray(wslab.gather_real(out_r[0]).rho))
+            / np.asarray(wslab.gather_real(out_r[0]).rho)))
+        print(f"dist composite: vs dist global {w_g / w_p:.2f}x, vs dist "
+              f"fixed rungs {w_r / w_p:.2f}x; rho drift {drho:.1e}")
+
 
 def main():
     if "--dist" in sys.argv:
